@@ -1,0 +1,33 @@
+"""Core GP models (functional state + pure transforms)."""
+
+from online_gp_tpu.models.wiski import (
+    WiskiModel,
+    WiskiState,
+    wiski_init,
+    wiski_condition,
+    wiski_mll,
+    wiski_predict,
+    wiski_prediction_caches,
+    wiski_fantasize,
+)
+from online_gp_tpu.models.partial_mll import sm_partial_mll
+from online_gp_tpu.models.exact import (
+    exact_mll,
+    exact_posterior,
+    ski_kernel_matrix,
+)
+
+__all__ = [
+    "WiskiModel",
+    "WiskiState",
+    "wiski_init",
+    "wiski_condition",
+    "wiski_mll",
+    "wiski_predict",
+    "wiski_prediction_caches",
+    "wiski_fantasize",
+    "sm_partial_mll",
+    "exact_mll",
+    "exact_posterior",
+    "ski_kernel_matrix",
+]

@@ -1,0 +1,81 @@
+"""Sherman–Morrison partial MLL — the O(m^2) online stem objective.
+
+Re-derivation of the reference's ``sm_partial_mll``
+(``online_gp/mlls/streaming_partial_mll.py``): with the *detached*
+grid-space predictive covariance cache M = (K^{-1} + WW')^{-1} and cache
+W D^{-1} y, and differentiable interpolation weights w = w(stem(x')) for a
+new point, the rank-1 Sherman–Morrison identities give a cheap per-batch
+objective whose gradient trains the feature extractor online
+(consumed at reference ``online_ski_regression.py:148-162`` and
+``online_ski_classifier.py:103-117``):
+
+  quad   = z' M z - (v' z)^2 / (1 + v' w),  z = Wy + w*y,  v = M w
+  logdet = log(1 + v' w)
+  pmll   = (quad - logdet) / 2 / (num_seen + 1)
+
+Batches of new points are scored per-point against the shared detached
+caches and summed (the reference formula is exact for its default
+streaming batch of one).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.models.wiski import (
+    WiskiModel,
+    WiskiState,
+    wiski_prediction_caches,
+    _second_noise,
+)
+from online_gp_tpu.ops.interp import interp_coeffs, dense_w
+
+
+def sm_partial_mll(
+    model: WiskiModel,
+    params: Dict,
+    state: WiskiState,
+    new_x: jnp.ndarray,
+    new_y: jnp.ndarray,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """Per-output partial MLL for a batch of new points.
+
+    Args:
+      new_x: (q, D) differentiable features (gradients flow to the stem
+        through the interpolation weights only — caches are detached).
+      new_y: (q, B) targets (for the classifier these are y/sigma^2,
+        reference ``online_ski_classifier.py:112``).
+
+    Returns (B,) — callers take ``-sum()`` as the stem loss.
+    """
+    mean_cov = wiski_prediction_caches(model, params, state, cfg.replace(skip_posterior_variances=False))
+    M = jax.lax.stop_gradient(mean_cov[1])  # (B, m, m)
+    Wy = jax.lax.stop_gradient(state.wty)  # (B, m, 1)
+    s2 = _second_noise(model, params)
+    s2 = None if s2 is None else jax.lax.stop_gradient(s2)
+
+    m = model.grid.num_points
+    idx, w = interp_coeffs(model.grid, new_x, detach=False)
+
+    def one_point(idx_j, w_j, y_j):
+        wcol = dense_w(idx_j[None], w_j[None], m)  # (m, 1)
+        z = Wy + wcol[None] * y_j[:, None, None]  # (B, m, 1)
+        Mw = M @ wcol[None]  # (B, m, 1)
+        Mz = M @ z
+        sm_div = 1.0 + jnp.sum(Mw * wcol[None], axis=(-2, -1))  # (B,)
+        quad1 = jnp.sum(z * Mz, axis=(-2, -1))
+        quad3 = jnp.sum(Mw * z, axis=(-2, -1)) ** 2 / sm_div
+        quad = quad1 - quad3
+        if s2 is not None:
+            quad = quad / s2
+        logdet = jnp.log(sm_div)
+        return (quad - logdet) / 2.0
+
+    per_point = jax.vmap(one_point)(idx, w, new_y)  # (q, B)
+    num_seen = state.num_data.astype(per_point.dtype)
+    return jnp.sum(per_point, axis=0) / (num_seen + 1.0)

@@ -1,0 +1,377 @@
+"""WISKI — constant-time online SKI GP as a functional JAX core.
+
+Re-design of the reference's ``FixedNoiseOnlineSKIGP``
+(``online_gp/models/batched_fixed_noise_online_gp.py``) around an immutable
+O(m^2) cache pytree and pure jittable transforms:
+
+  state ("kernel cache", reference lines 31-60/140):
+    wty      = W D^{-1} y          (B, m, 1)   "interpolation_cache"
+    ydy      = y^T D^{-1} y        (B,)        "response_cache"
+    roots    = RootCache over A = W D^{-1} W^T (B, m, m)  "WtW"
+    d_logdet = log|D|              (B,)
+    num_data = n                   ()
+
+  transforms:
+    wiski_init       <- constructor cache build  (reference lines 140-152)
+    wiski_condition  <- condition_on_observations(inplace) (lines 258-285)
+    wiski_mll        <- BatchedWoodburyMarginalLogLikelihood
+                        (``online_gp/mlls/batched_woodbury_marginal_log_likelihood.py``)
+    wiski_prediction_caches / wiski_predict <- eval forward (lines 204-256,
+                        334-404)
+    wiski_fantasize  <- get_fantasy_model batched cache expansion
+                        (lines 287-332)
+
+All math is derived in SURVEY.md §2.2-2.3. B is the output/class batch
+(``num_outputs`` folded into ``_batch_shape`` in the reference); streaming
+is ``lax.scan`` over ``wiski_condition``.
+
+The learnable "second noise" sigma^2 is the reference's multiplicative
+``FNMGLikelihood`` (``online_gp/likelihoods/fnmg_likelihood.py``): the
+effective model is  y ~ N(0, W^T Kuu W + sigma^2 D)  with per-point fixed
+noise D cached and the global sigma^2 learned; Kuu is divided by sigma^2
+inside all cache algebra and the predictive covariance is re-scaled by
+sigma^2 at the end (reference lines 227-228, 338-341).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.kernels.base import Kernel
+from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense
+from online_gp_tpu.kernels.priors import log_prior_sum
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.ops.interp import interp_coeffs, dense_w, gather_predict, interp_matvec
+from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
+from online_gp_tpu.ops.root_update import RootCache, root_cache_init, root_cache_update
+
+LOG_2PI = 1.8378770664093453
+
+
+class WiskiModel(NamedTuple):
+    """Static model spec (hashable pieces only; pass as a closure/static arg)."""
+
+    kernel: Kernel
+    grid: Grid
+    num_outputs: int
+    learn_additional_noise: bool = False
+    priors: Optional[tuple] = None  # tuple of (raw_param_name, prior) pairs
+
+    def init_params(self, num_dims: int, dtype=jnp.float32, **kw) -> Dict:
+        batch = (self.num_outputs,)
+        params = {"kernel": self.kernel.init_params(num_dims, batch, dtype=dtype, **kw)}
+        if self.learn_additional_noise:
+            params["raw_second_noise"] = jnp.zeros(batch, dtype)
+        return params
+
+
+class WiskiState(NamedTuple):
+    wty: jnp.ndarray  # (B, m, 1)
+    ydy: jnp.ndarray  # (B,)
+    roots: RootCache  # arrays (B, m, m)
+    d_logdet: jnp.ndarray  # (B,)
+    num_data: jnp.ndarray  # () int32
+
+
+def _second_noise(model: WiskiModel, params: Dict) -> Optional[jnp.ndarray]:
+    if model.learn_additional_noise:
+        return jnp.exp(params["raw_second_noise"])  # (B,)
+    return None
+
+
+def _reshape_obs(y: jnp.ndarray, noise: jnp.ndarray, num_outputs: int):
+    """Normalize targets/noise to (n, B)."""
+    y = y.reshape(-1, num_outputs)
+    noise = noise.reshape(-1, num_outputs)
+    return y, noise
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def wiski_init(
+    model: WiskiModel,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+    root_jitter: float = 1e-4,
+    chunk: int = 4096,
+    detach_interp: bool = False,
+) -> WiskiState:
+    """Build the O(m^2) caches from initial data (then the data can go).
+
+    Args:
+      x: (n, D) inputs (stem features).
+      y: (n, B) targets.
+      noise: (n, B) fixed per-point noise diagonal.
+    """
+    B = model.num_outputs
+    m = model.grid.num_points
+    y, noise = _reshape_obs(y, noise, B)
+    n = x.shape[0]
+    dtype = x.dtype
+
+    wty = jnp.zeros((B, m, 1), dtype)
+    ydy = jnp.zeros((B,), dtype)
+    A = jnp.zeros((B, m, m), dtype)
+
+    for start in range(0, n, chunk):
+        xs = x[start : start + chunk]
+        ys = y[start : start + chunk]
+        ns = noise[start : start + chunk]
+        idx, w = interp_coeffs(model.grid, xs, detach=detach_interp)
+        wt = dense_w(idx, w, m)  # (m, c)
+        dinv_y = ys / ns  # (c, B)
+        wty = wty + jnp.einsum("mc,cb->bm", wt, dinv_y)[..., None]
+        ydy = ydy + jnp.sum(ys * dinv_y, axis=0)
+        A = A + jnp.einsum("mc,cb,kc->bmk", wt, 1.0 / ns, wt)
+
+    d_logdet = jnp.sum(jnp.log(noise), axis=0)  # (B,)
+    roots = root_cache_init(A, jitter=root_jitter)
+    return WiskiState(wty=wty, ydy=ydy, roots=roots, d_logdet=d_logdet, num_data=jnp.asarray(n, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# condition (the constant-time online update — THE hot op)
+# ---------------------------------------------------------------------------
+
+
+def wiski_condition(
+    model: WiskiModel,
+    state: WiskiState,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+    detach_interp: bool = True,
+) -> WiskiState:
+    """Absorb q new observations in O(m^2 q).
+
+    Mirrors ``condition_on_observations(..., inplace=True)`` +
+    ``_update_cache_dicts`` (reference lines 155-171, 258-273), including
+    the noise clamp at 1e-7 before the root update (line 163).
+    """
+    B = model.num_outputs
+    m = model.grid.num_points
+    y, noise = _reshape_obs(y, noise, B)
+    q = x.shape[0]
+
+    idx, w = interp_coeffs(model.grid, x, detach=detach_interp)
+    w_cols = dense_w(idx, w, m)  # (m, q)
+
+    root_noise = jnp.sqrt(jnp.maximum(noise, 1e-7))  # (q, B)
+    v = w_cols[None, :, :] / root_noise.T[:, None, :]  # (B, m, q)
+    roots = root_cache_update(state.roots, v)
+
+    dinv_y = y / noise  # (q, B)
+    wty = state.wty + jnp.einsum("mq,qb->bm", w_cols, dinv_y)[..., None]
+    ydy = state.ydy + jnp.sum(y * dinv_y, axis=0)
+    d_logdet = state.d_logdet + jnp.sum(jnp.log(noise), axis=0)
+    return WiskiState(
+        wty=wty,
+        ydy=ydy,
+        roots=roots,
+        d_logdet=d_logdet,
+        num_data=state.num_data + q,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Woodbury MLL
+# ---------------------------------------------------------------------------
+
+
+def _kuu_eff(model: WiskiModel, params: Dict) -> jnp.ndarray:
+    """K_uu, divided by the learnable second noise when present
+    (reference ``Kuu`` property, lines 336-341)."""
+    Kuu = grid_kuu_dense(model.kernel, params["kernel"], model.grid)  # (B, m, m)
+    s2 = _second_noise(model, params)
+    if s2 is not None:
+        Kuu = Kuu / s2[..., None, None]
+    return Kuu
+
+
+def _q_factor(model: WiskiModel, params: Dict, state: WiskiState):
+    """Shared pieces: Kuu_eff, KuuL, chol(Q), proj = L^T Kuu W D^{-1} y."""
+    Kuu = _kuu_eff(model, params)
+    L = state.roots.root
+    KuuL = Kuu @ L  # (B, m, m)
+    m = KuuL.shape[-1]
+    Q = jnp.eye(m, dtype=KuuL.dtype) + jnp.einsum("bji,bjk->bik", L, KuuL)
+    Lq = jnp.linalg.cholesky(Q)  # Q = I + PSD: well conditioned, no jitter
+    Kuu_wty = Kuu @ state.wty  # (B, m, 1)
+    proj = jnp.einsum("bji,bjk->bik", L, Kuu_wty)  # (B, m, 1)
+    return Kuu, KuuL, Lq, Kuu_wty, proj
+
+
+def wiski_mll(
+    model: WiskiModel,
+    params: Dict,
+    state: WiskiState,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """Exact GP marginal log-likelihood from the caches alone, per output.
+
+    The Woodbury/matrix-determinant-lemma algebra of
+    ``BatchedWoodburyMarginalLogLikelihood.__call__`` (reference
+    ``online_gp/mlls/batched_woodbury_marginal_log_likelihood.py:19-52``):
+
+      quad   = [y'D^{-1}y - (WD^{-1}y)' K (WD^{-1}y) + proj' Q^{-1} proj] / s2
+      logdet = log|Q| + log|D| (+ n log s2)
+      mll    = -(quad + logdet + n log 2pi)/2 + log p(theta);   returned /n
+
+    Returns (B,) — callers sum over outputs like the reference wrappers.
+    """
+    _, _, Lq, Kuu_wty, proj = _q_factor(model, params, state)
+    sol = cho_solve(Lq, proj)
+    inner_qform = jnp.sum(proj * sol, axis=(-2, -1))  # (B,)
+    inner_logdet = chol_logdet(Lq)  # (B,)
+    if cfg.skip_logdet_forward:
+        # gpytorch semantics: zero in the forward value, gradient intact.
+        inner_logdet = inner_logdet - jax.lax.stop_gradient(inner_logdet)
+
+    inducing_qform = jnp.sum(state.wty * Kuu_wty, axis=(-2, -1))  # (B,)
+    quad = state.ydy - inducing_qform + inner_qform
+    logdet = inner_logdet + state.d_logdet
+
+    n = state.num_data.astype(quad.dtype)
+    final = n * LOG_2PI
+    s2 = _second_noise(model, params)
+    if s2 is not None:
+        quad = quad / s2
+        final = final + n * jnp.log(s2)
+
+    res = -0.5 * (quad + logdet + final)
+    if model.priors:
+        res = res + log_prior_sum(dict(model.priors), params["kernel"])
+    return res / n
+
+
+# ---------------------------------------------------------------------------
+# prediction
+# ---------------------------------------------------------------------------
+
+
+def wiski_prediction_caches(
+    model: WiskiModel,
+    params: Dict,
+    state: WiskiState,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Grid-space predictive caches (reference ``prediction_cache``
+    property, lines 369-404):
+
+      mean_cache = K W D^{-1} y - (K L) Q^{-1} (L' K W D^{-1} y)   (B, m, 1)
+      cov_cache  = K - (K L) Q^{-1} (K L)'                         (B, m, m)
+
+    with K = Kuu / s2. In a jitted caller these are computed once per
+    hyperparameter/state change and closed over for many predict calls.
+    """
+    _, KuuL, Lq, Kuu_wty, proj = _q_factor(model, params, state)
+    mean_cache = Kuu_wty - KuuL @ cho_solve(Lq, proj)
+    if cfg.skip_posterior_variances:
+        return mean_cache, None
+    Kuu = _kuu_eff(model, params)
+    # R = KuuL Lq^{-T} so cov = Kuu - R R^T (the fast_pred_var LOVE root is
+    # exactly R; with a dense Cholesky both branches coincide).
+    R = tri_solve(Lq, KuuL.swapaxes(-1, -2))  # (B, m, m): Lq^{-1} (KuuL)^T
+    cov_cache = Kuu - jnp.einsum("bki,bkj->bij", R, R)
+    return mean_cache, cov_cache
+
+
+def wiski_predict(
+    model: WiskiModel,
+    params: Dict,
+    state: WiskiState,
+    x: jnp.ndarray,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+    caches: Optional[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Posterior f-moments at test points (eval forward, lines 204-256).
+
+    Returns:
+      mean (B, n); var (B, n) (or None under skip_posterior_variances).
+      The learnable second noise re-scales the covariance (lines 227-228);
+      observation noise is NOT added (wrappers add it, matching
+      ``OnlineSKIRegression.predict``, ``online_ski_regression.py:56-62``).
+    """
+    if caches is None:
+        caches = wiski_prediction_caches(model, params, state, cfg)
+    mean_cache, cov_cache = caches
+    idx, w = interp_coeffs(model.grid, x, detach=cfg.detach_interp_coeff)
+    mean, var = gather_predict(idx, w, mean_cache, cov_cache)
+    if var is not None:
+        s2 = _second_noise(model, params)
+        if s2 is not None:
+            var = var * s2[..., None]
+        var = jnp.maximum(var, 1e-12)
+    return mean, var
+
+
+def wiski_predict_root(
+    model: WiskiModel,
+    params: Dict,
+    state: WiskiState,
+    x: jnp.ndarray,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fast_pred_samples path: mean plus a low-rank joint-covariance root
+    W_x @ chol(cov_cache) for cheap posterior sampling (lines 229-243).
+
+    Returns mean (B, n) and root (B, n, m) with cov = root @ root^T.
+    """
+    mean_cache, cov_cache = wiski_prediction_caches(model, params, state, cfg)
+    idx, w = interp_coeffs(model.grid, x, detach=cfg.detach_interp_coeff)
+    mean = interp_matvec(idx, w, mean_cache)[..., 0]
+    cov_root = psd_safe_cholesky(cov_cache, jitter=cfg.cholesky_jitter)
+    root = interp_matvec(idx, w, cov_root)  # (B, n, m)
+    s2 = _second_noise(model, params)
+    if s2 is not None:
+        root = root * jnp.sqrt(s2)[..., None, None]
+    return mean, root
+
+
+# ---------------------------------------------------------------------------
+# fantasy batching (q-acquisition support)
+# ---------------------------------------------------------------------------
+
+
+def wiski_expand(state: WiskiState, num_fantasies: int) -> WiskiState:
+    """Tile the caches along a new leading fantasy dim (reference
+    ``get_fantasy_model`` cache expansion, lines 287-316)."""
+
+    def tile(a):
+        return jnp.broadcast_to(a[None], (num_fantasies,) + a.shape)
+
+    return WiskiState(
+        wty=tile(state.wty),
+        ydy=tile(state.ydy),
+        roots=RootCache(*(tile(a) for a in state.roots)),
+        d_logdet=tile(state.d_logdet),
+        num_data=tile(state.num_data),
+    )
+
+
+def wiski_fantasize(
+    model: WiskiModel,
+    state: WiskiState,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> WiskiState:
+    """Condition F independent fantasy copies of the caches.
+
+    Args:
+      x: (F, q, D) fantasy inputs; y, noise: (F, q, B).
+
+    Returns a state whose arrays carry a leading F dim (num_data bumps by q,
+    shared across fantasies, like the reference's expanded model).
+    """
+    expanded = wiski_expand(state, x.shape[0])
+    cond = jax.vmap(lambda s, xi, yi, ni: wiski_condition(model, s, xi, yi, ni))
+    return cond(expanded, x, y, noise)

@@ -1,0 +1,108 @@
+"""Maintained matrix roots with exact O(m^2 q) rank-q updates.
+
+This is the TPU-native heart of WISKI's constant-time conditioning. The
+reference maintains the root L and inverse root B of the SKI Gram matrix
+A = W D^{-1} W^T (A = L L^T, A^{-1} = B B^T) inside
+``online_gp/lazy/updated_root_lazy_tensor.py`` — its ``collect_vector``
+takes a *full* SVD of p = B^T v (``updated_root_lazy_tensor.py:82``,
+``some=False``), an O(m^3) op per update.
+
+TPU-first derivation (same math, no full SVD): matrix roots are only
+defined up to right-multiplication by an orthogonal matrix, so with the
+thin SVD p = U_q S V^T (U_q: m×q),
+
+    A + v v^T = L (I + p p^T) L^T
+              = [L (I + U_q diag(c) U_q^T)] [·]^T,  c = sqrt(S^2+1) - 1
+
+because (I + U_q diag(c) U_q^T)^2 = I + U_q diag(S^2) U_q^T = I + p p^T.
+Likewise B_new = B (I + U_q diag(d) U_q^T) with d = 1/sqrt(S^2+1) - 1
+keeps B_new^T L_new = I exactly ((1+c)(1+d) = 1). Both updates are three
+m×q / m×m-free matmuls — O(m^2 q), MXU-shaped, and *exact* (the reference's
+update is exact only in the full-rank regime it reaches via Cholesky +
+jitter; we initialize the same way, see ``root_cache_init``).
+
+The thin SVD of the m×q matrix p is computed from the q×q Gram eigh
+(q is 1 for point-streaming), so nothing bigger than q×q is factorized.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from online_gp_tpu.ops.chol import psd_safe_cholesky, inv_lower_transpose
+
+
+class RootCache(NamedTuple):
+    """A = mat = root @ root^T with inv_root @ inv_root^T = A^{-1}.
+
+    Pytree analog of the reference's ``UpdatedRootLazyTensor`` state
+    (tensor, root, inverse root)."""
+
+    mat: jnp.ndarray  # (..., m, m)
+    root: jnp.ndarray  # (..., m, m)
+    inv_root: jnp.ndarray  # (..., m, m)
+
+
+def root_cache_init(mat: jnp.ndarray, jitter: float = 1e-4) -> RootCache:
+    """Initialize roots from a dense PSD matrix.
+
+    Matches the reference's first-call fallback
+    (``updated_root_lazy_tensor.py:121-133``), which for m below gpytorch's
+    ``max_cholesky_size`` resolves to a jittered Cholesky: A may be rank
+    deficient early in a stream (n < m), so the maintained roots actually
+    track A + eps*I — the same tiny, documented bias as the reference.
+    """
+    chol = psd_safe_cholesky(mat, jitter=jitter)
+    inv_root = inv_lower_transpose(chol)
+    return RootCache(mat=mat, root=chol, inv_root=inv_root)
+
+
+def root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
+    """Rank-q update A <- A + v v^T with O(m^2 q) root maintenance.
+
+    Args:
+      cache: current roots.
+      v: (..., m, q) update vectors (q static; q=1 for point streams).
+
+    Returns:
+      updated RootCache.
+    """
+    L, B = cache.root, cache.inv_root
+    p = jnp.einsum("...ji,...jq->...iq", B, v)  # B^T v: (..., m, q)
+
+    # Thin SVD of p via the q×q Gram matrix: p^T p = V diag(S^2) V^T.
+    gram = jnp.einsum("...iq,...ir->...qr", p, p)
+    s2, V = jnp.linalg.eigh(gram)  # ascending eigenvalues
+    s2 = jnp.maximum(s2, 0.0)
+    s = jnp.sqrt(s2)
+    # U_q = p V / S; a zero singular value means that direction contributes
+    # nothing (c = d = 0 below), so guard the division arbitrarily.
+    safe_s = jnp.maximum(s, jnp.asarray(1e-20, p.dtype))
+    U = jnp.einsum("...iq,...qr->...ir", p, V) / safe_s[..., None, :]
+
+    c = jnp.sqrt(s2 + 1.0) - 1.0  # root eigenvalue update
+    d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0  # inverse-root eigenvalue update
+    # guard: if s == 0, U column is garbage — zero its contribution.
+    valid = (s > 0).astype(p.dtype)
+    c = c * valid
+    d = d * valid
+
+    LU = jnp.einsum("...ij,...jq->...iq", L, U)
+    BU = jnp.einsum("...ij,...jq->...iq", B, U)
+    new_root = L + jnp.einsum("...iq,...jq->...ij", LU * c[..., None, :], U)
+    new_inv_root = B + jnp.einsum("...iq,...jq->...ij", BU * d[..., None, :], U)
+    new_mat = cache.mat + jnp.einsum("...iq,...jq->...ij", v, v)
+    return RootCache(mat=new_mat, root=new_root, inv_root=new_inv_root)
+
+
+def root_cache_expand(cache: RootCache, batch_shape) -> RootCache:
+    """Broadcast the cache along new leading batch dims (the reference's
+    ``_expand_batch``, used for fantasy batching in q-acquisition;
+    ``updated_root_lazy_tensor.py:139-159``)."""
+    def expand(x):
+        return jnp.broadcast_to(x, tuple(batch_shape) + x.shape)
+
+    return RootCache(*(expand(x) for x in cache))

@@ -1,0 +1,99 @@
+"""Direct unit tests for the maintained-root cache.
+
+The reference never unit-tests ``UpdatedRootLazyTensor`` directly
+(SURVEY.md §4 flags this gap); here root/inv-root consistency is asserted
+after many rank-1 and rank-q updates against fresh factorizations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_gp_tpu.ops.root_update import root_cache_init, root_cache_update, root_cache_expand
+
+
+def _random_psd(key, m, rank, dtype=jnp.float64):
+    v = jax.random.normal(key, (m, rank), dtype=dtype)
+    return v @ v.T
+
+
+def test_init_invariants():
+    m = 24
+    A = _random_psd(jax.random.PRNGKey(0), m, m)
+    cache = root_cache_init(A, jitter=1e-10)
+    np.testing.assert_allclose(np.asarray(cache.root @ cache.root.T), np.asarray(A), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cache.root @ cache.inv_root.T), np.eye(m), atol=1e-8
+    )
+
+
+def test_rank1_update_chain():
+    m = 16
+    key = jax.random.PRNGKey(1)
+    A = _random_psd(key, m, m)
+    cache = root_cache_init(A, jitter=1e-12)
+    A_ref = np.asarray(cache.root @ cache.root.T)  # includes the tiny init jitter
+    for i in range(50):
+        key, sub = jax.random.split(key)
+        v = jax.random.normal(sub, (m, 1), dtype=jnp.float64)
+        cache = root_cache_update(cache, v)
+        A_ref = A_ref + np.asarray(v @ v.T)
+    np.testing.assert_allclose(np.asarray(cache.root @ cache.root.T), A_ref, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cache.root @ cache.inv_root.T), np.eye(m), atol=1e-7)
+    # the dense mat tracks the exact (jitter-free) sum
+    np.testing.assert_allclose(np.asarray(cache.mat), A_ref, atol=1e-6)
+
+
+def test_rankq_update():
+    m, q = 20, 4
+    A = _random_psd(jax.random.PRNGKey(2), m, m)
+    cache = root_cache_init(A, jitter=1e-12)
+    v = jax.random.normal(jax.random.PRNGKey(3), (m, q), dtype=jnp.float64)
+    updated = root_cache_update(cache, v)
+    target = np.asarray(cache.root @ cache.root.T + v @ v.T)
+    np.testing.assert_allclose(np.asarray(updated.root @ updated.root.T), target, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(updated.root @ updated.inv_root.T), np.eye(m), atol=1e-8)
+
+
+def test_degenerate_update_is_noop_direction():
+    m = 12
+    A = _random_psd(jax.random.PRNGKey(4), m, m)
+    cache = root_cache_init(A, jitter=1e-12)
+    v = jnp.zeros((m, 1), dtype=jnp.float64)
+    updated = root_cache_update(cache, v)
+    np.testing.assert_allclose(np.asarray(updated.root), np.asarray(cache.root), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(updated.inv_root), np.asarray(cache.inv_root), atol=1e-12)
+
+
+def test_batched_and_expanded():
+    m = 10
+    A = jnp.stack([_random_psd(jax.random.PRNGKey(5), m, m), _random_psd(jax.random.PRNGKey(6), m, m)])
+    cache = root_cache_init(A, jitter=1e-12)
+    v = jax.random.normal(jax.random.PRNGKey(7), (2, m, 1), dtype=jnp.float64)
+    updated = root_cache_update(cache, v)
+    assert updated.root.shape == (2, m, m)
+    target = np.asarray(cache.mat + jnp.einsum("bmq,bnq->bmn", v, v))
+    np.testing.assert_allclose(np.asarray(updated.mat), target, atol=1e-10)
+
+    expanded = root_cache_expand(cache, (3,))
+    assert expanded.root.shape == (3, 2, m, m)
+
+
+def test_update_in_float32_stays_stable():
+    # TPU-realistic precision: invariants should hold loosely after 200 updates.
+    m = 36
+    A = _random_psd(jax.random.PRNGKey(8), m, m, dtype=jnp.float32)
+    cache = root_cache_init(A.astype(jnp.float32), jitter=1e-4)
+    key = jax.random.PRNGKey(9)
+
+    def step(c, k):
+        v = jax.random.normal(k, (m, 1), dtype=jnp.float32) * 0.3
+        return root_cache_update(c, v), None
+
+    keys = jax.random.split(key, 200)
+    cache, _ = jax.lax.scan(step, cache, keys)
+    recon = np.asarray(cache.root @ cache.root.T)
+    ident = np.asarray(cache.root @ cache.inv_root.T)
+    rel = np.abs(recon - np.asarray(cache.mat)).max() / np.abs(np.asarray(cache.mat)).max()
+    assert rel < 5e-3
+    assert np.abs(ident - np.eye(m)).max() < 5e-2
