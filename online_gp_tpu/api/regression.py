@@ -1,0 +1,302 @@
+"""Online SKI (WISKI) streaming regression wrapper.
+
+Stateful shell over the functional WISKI core, with the exact online
+semantics of the reference's ``OnlineSKIRegression``
+(``online_gp/models/online_ski_regression.py``):
+
+- ``fit``: full-cache refit epochs — rebuild the caches from current stem
+  features each epoch (gradients flow to the stem *through the
+  interpolation weights*), cosine LR annealed to 1e-4 (lines 80-111),
+  then a final cache freeze with detached interpolation coefficients
+  (lines 107-108).
+- ``update`` (the streaming hot path, lines 113-130): Sherman-Morrison
+  stem step -> Woodbury-MLL hyper step with skip_logdet_forward
+  (lines 132-162) -> O(m^2) conditioning on the new point -> BatchNorm
+  refresh from a 1024-sample replay batch (lines 164-174).
+- ``predict`` adds the learnable second noise to the variance (lines
+  56-62).
+
+TPU design: stem step + GP step + conditioning compile into ONE jitted
+update function per streaming batch shape; the replay-buffer growth stays
+host-side.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.kernels.base import make_kernel, Kernel
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.models.wiski import (
+    WiskiModel,
+    wiski_init,
+    wiski_condition,
+    wiski_mll,
+    wiski_predict,
+)
+from online_gp_tpu.models.partial_mll import sm_partial_mll
+from online_gp_tpu.api.stems import Stem
+from online_gp_tpu.utils.buffers import ReplayBuffer
+from online_gp_tpu.utils.metrics import batched_rmse_nll
+
+
+class OnlineSKIRegression:
+    def __init__(
+        self,
+        stem: Stem,
+        init_x,
+        init_y,
+        lr: float = 0.01,
+        grid_size: int = 30,
+        grid_bound: float = 1.0,
+        kernel: str | Kernel = "rbf",
+        cfg: SolverConfig = DEFAULT_CONFIG,
+        seed: int = 0,
+        **unused,
+    ):
+        init_x = jnp.asarray(init_x)
+        init_y = jnp.asarray(init_y)
+        assert init_y.ndim == 2, "targets must have an explicit output dimension"
+        self.stem = stem
+        self.cfg = cfg
+        self.lr = lr
+        self.target_dim = init_y.shape[-1]
+
+        key = jax.random.PRNGKey(seed)
+        self.stem_params, self.stem_state = stem.init(key)
+        feats, self.stem_state = stem.apply(self.stem_params, self.stem_state, init_x, train=True)
+        feats = jax.lax.stop_gradient(feats)
+
+        grid_bound = grid_bound + 1e-1
+        grid = Grid.create([(-grid_bound, grid_bound)] * stem.output_dim, grid_size)
+        if isinstance(kernel, str):
+            kernel = make_kernel(kernel)
+        self.model = WiskiModel(
+            kernel, grid, num_outputs=self.target_dim, learn_additional_noise=True
+        )
+        self.params = self.model.init_params(stem.output_dim)
+        noise = jnp.ones_like(init_y)
+        self.state = wiski_init(self.model, feats, init_y, noise)
+
+        self.gp_opt = optax.adam(lr)
+        self.gp_opt_state = self.gp_opt.init(self.params)
+        self.stem_opt = optax.adam(lr)
+        self.stem_opt_state = self.stem_opt.init(self.stem_params)
+        self.buffer = ReplayBuffer(np.asarray(init_x))
+        self._train_data = (np.asarray(init_x), np.asarray(init_y))
+        self._jit_cache: Dict = {}
+
+    # -- jitted building blocks -------------------------------------------
+
+    def _update_fn(self, q: int):
+        """One fused streaming update for a batch of q points."""
+        key = ("update", q)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg, stem = self.model, self.cfg, self.stem
+        cfg_skip = cfg.replace(skip_logdet_forward=True)
+        gp_opt, stem_opt = self.gp_opt, self.stem_opt
+
+        def fn(params, stem_params, bn_state, gp_opt_state, stem_opt_state, state, x, y):
+            # 1) stem step on the Sherman-Morrison partial MLL
+            def stem_loss(sp):
+                feats, _ = stem.apply(sp, bn_state, x, train=False)
+                return -jnp.sum(sm_partial_mll(model, params, state, feats, y, cfg))
+
+            if stem.has_params:
+                s_loss, s_grads = jax.value_and_grad(stem_loss)(stem_params)
+                s_updates, stem_opt_state = stem_opt.update(s_grads, stem_opt_state, stem_params)
+                stem_params = optax.apply_updates(stem_params, s_updates)
+            else:
+                s_loss = jnp.asarray(0.0)
+
+            # 2) GP hyper step on the Woodbury MLL (skip_logdet_forward)
+            def gp_loss(p):
+                return -jnp.sum(wiski_mll(model, p, state, cfg_skip))
+
+            g_loss, g_grads = jax.value_and_grad(gp_loss)(params)
+            g_updates, gp_opt_state = gp_opt.update(g_grads, gp_opt_state, params)
+            params = optax.apply_updates(params, g_updates)
+
+            # 3) condition the caches on the new observations
+            feats, _ = stem.apply(stem_params, bn_state, x, train=False)
+            feats = jax.lax.stop_gradient(feats)
+            noise = jnp.ones_like(y)
+            state = wiski_condition(model, state, feats, y, noise)
+            return params, stem_params, gp_opt_state, stem_opt_state, state, s_loss, g_loss
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def _predict_fn(self, n: int):
+        key = ("predict", n)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg, stem = self.model, self.cfg, self.stem
+        cfg_eval = cfg.replace(detach_interp_coeff=True)
+
+        def fn(params, stem_params, bn_state, state, x):
+            feats, _ = stem.apply(stem_params, bn_state, x, train=False)
+            mean, var = wiski_predict(model, params, state, feats, cfg_eval)
+            s2 = jnp.exp(params["raw_second_noise"])
+            var = var + s2[:, None]
+            return mean.T, var.T  # (n, T)
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def _bn_refresh_fn(self, q: int):
+        key = ("bn", q)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        stem = self.stem
+
+        def fn(stem_params, bn_state, x):
+            _, new_state = stem.apply(stem_params, bn_state, x, train=True)
+            return new_state
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # -- public API --------------------------------------------------------
+
+    def predict(self, inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        fn = self._predict_fn(inputs.shape[0])
+        return fn(self.params, self.stem_params, self.stem_state, self.state, inputs)
+
+    def evaluate(self, inputs, targets) -> Tuple[float, float]:
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        return batched_rmse_nll(self.predict, inputs, targets)
+
+    def update(self, inputs, targets, update_stem: bool = True, update_gp: bool = True):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        fn = self._update_fn(inputs.shape[0])
+        (
+            self.params,
+            self.stem_params,
+            self.gp_opt_state,
+            self.stem_opt_state,
+            self.state,
+            s_loss,
+            g_loss,
+        ) = fn(
+            self.params,
+            self.stem_params,
+            self.stem_state,
+            self.gp_opt_state,
+            self.stem_opt_state,
+            self.state,
+            inputs,
+            targets,
+        )
+        self.buffer.append(np.asarray(inputs))
+        if update_stem and self.stem.has_params:
+            # refresh BatchNorm running stats on new + replayed inputs
+            replay = jnp.asarray(self.buffer.sample(1024))
+            batch = jnp.concatenate([inputs, replay])
+            self.stem_state = self._bn_refresh_fn(inputs.shape[0])(
+                self.stem_params, self.stem_state, batch
+            )
+        return float(s_loss), float(g_loss)
+
+    def fit(self, inputs, targets, num_epochs: int, test_dataset=None):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        self._train_data = (np.asarray(inputs), np.asarray(targets))
+        model, cfg, stem = self.model, self.cfg, self.stem
+        noise = jnp.ones_like(targets)
+
+        sched = optax.cosine_decay_schedule(self.lr, max(num_epochs, 1), alpha=1e-4 / self.lr)
+        gp_opt = optax.adam(sched)
+        stem_opt = optax.adam(sched)
+        gp_os = gp_opt.init(self.params)
+        stem_os = stem_opt.init(self.stem_params)
+
+        @jax.jit
+        def epoch_step(params, stem_params, bn_state, gp_os, stem_os):
+            def loss_fn(p, sp):
+                feats, new_bn = stem.apply(sp, bn_state, inputs, train=True)
+                st = wiski_init(model, feats, targets, noise)
+                return -jnp.sum(wiski_mll(model, p, st, cfg)), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, stem_params
+            )
+            g_up, gp_os = gp_opt.update(grads[0], gp_os, params)
+            params = optax.apply_updates(params, g_up)
+            if stem.has_params:
+                s_up, stem_os = stem_opt.update(grads[1], stem_os, stem_params)
+                stem_params = optax.apply_updates(stem_params, s_up)
+            return params, stem_params, new_bn, gp_os, stem_os, loss
+
+        records = []
+        for epoch in range(num_epochs):
+            (
+                self.params,
+                self.stem_params,
+                self.stem_state,
+                gp_os,
+                stem_os,
+                loss,
+            ) = epoch_step(self.params, self.stem_params, self.stem_state, gp_os, stem_os)
+            rmse = nll = float("nan")
+            if test_dataset is not None:
+                # refresh caches at current hypers/features before eval
+                self._refresh_state(inputs, targets)
+                test_x, test_y = test_dataset
+                rmse, nll = self.evaluate(test_x, test_y)
+            records.append(
+                {
+                    "epoch": epoch + 1,
+                    "train_loss": float(loss),
+                    "test_rmse": rmse,
+                    "test_nll": nll,
+                    "noise": float(jnp.exp(self.params["raw_second_noise"]).mean()),
+                }
+            )
+
+        # final cache freeze with detached interpolation coefficients
+        self._refresh_state(inputs, targets)
+        return records
+
+    def _refresh_state(self, inputs, targets):
+        feats, _ = self.stem.apply(self.stem_params, self.stem_state, inputs, train=False)
+        feats = jax.lax.stop_gradient(feats)
+        self.state = wiski_init(self.model, feats, targets, jnp.ones_like(targets))
+
+    def set_train_data(self, inputs, targets):
+        self._refresh_state(
+            jnp.asarray(inputs).reshape(-1, self.stem.input_dim),
+            jnp.asarray(targets).reshape(-1, self.target_dim),
+        )
+
+    def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):
+        stem_lr = gp_lr if stem_lr is None else stem_lr
+        self.gp_opt = optax.adam(gp_lr)
+        self.gp_opt_state = self.gp_opt.init(self.params)
+        self.stem_opt = optax.adam(stem_lr)
+        self.stem_opt_state = self.stem_opt.init(self.stem_params)
+        if bn_mom is not None and "bn" in self.stem_state:
+            self.stem_state = dict(self.stem_state)
+            self.stem_state["bn"] = dict(self.stem_state["bn"], momentum=jnp.asarray(bn_mom))
+        self._jit_cache = {}
+
+    @property
+    def noise(self):
+        return jnp.exp(self.params["raw_second_noise"])
+
+    def mll_value(self) -> float:
+        return float(jnp.sum(wiski_mll(self.model, self.params, self.state, self.cfg)))
