@@ -1,0 +1,79 @@
+"""Driver benchmark: WISKI online updates/sec, single chip, 30^2 grid.
+
+Headline metric from BASELINE.json: >10,000 constant-time online updates
+per second at a 30x30 inducing grid (m=900). Measures the jitted
+``lax.scan`` streaming-conditioning path (the reference's
+``condition_on_observations(inplace=True)`` hot loop,
+``experiments/regression.py:53``), steady state, on the default backend.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+TARGET = 10_000.0
+
+
+def main():
+    from online_gp_tpu.kernels import RBFKernel
+    from online_gp_tpu.ops import Grid
+    from online_gp_tpu.models.wiski import WiskiModel, wiski_init, wiski_condition
+
+    d, grid_size = 2, 30
+    grid = Grid.create([(-1.1, 1.1)] * d, grid_size)
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
+
+    key = jax.random.PRNGKey(0)
+    kx, ky, ks = jax.random.split(key, 3)
+    x0 = jax.random.uniform(kx, (256, d), minval=-1, maxval=1)
+    y0 = jnp.sin(3 * x0[:, :1])
+    state = wiski_init(model, x0, y0, jnp.ones_like(y0))
+
+    n_stream = 2048
+    xs = jax.random.uniform(ky, (n_stream, 1, d), minval=-1, maxval=1)
+    ys = jnp.sin(3 * xs[..., :1])[..., 0, :]
+    ys = ys[:, None, :]
+    ns = jnp.ones_like(ys)
+
+    @jax.jit
+    def stream(state, xs, ys, ns):
+        def step(s, inp):
+            xi, yi, ni = inp
+            return wiski_condition(model, s, xi, yi, ni), 0.0
+
+        s, _ = jax.lax.scan(step, state, (xs, ys, ns))
+        return s
+
+    # compile + warmup
+    out = stream(state, xs, ys, ns)
+    jax.block_until_ready(out.roots.mat)
+
+    reps, best = 3, 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = stream(state, xs, ys, ns)
+        jax.block_until_ready(out.roots.mat)
+        dt = time.perf_counter() - t0
+        best = max(best, n_stream / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "wiski_online_updates_per_sec_30x30_grid",
+                "value": round(best, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(best / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

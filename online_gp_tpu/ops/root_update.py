@@ -73,15 +73,23 @@ def root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
     L, B = cache.root, cache.inv_root
     p = jnp.einsum("...ji,...jq->...iq", B, v)  # B^T v: (..., m, q)
 
-    # Thin SVD of p via the q×q Gram matrix: p^T p = V diag(S^2) V^T.
-    gram = jnp.einsum("...iq,...ir->...qr", p, p)
-    s2, V = jnp.linalg.eigh(gram)  # ascending eigenvalues
-    s2 = jnp.maximum(s2, 0.0)
-    s = jnp.sqrt(s2)
-    # U_q = p V / S; a zero singular value means that direction contributes
-    # nothing (c = d = 0 below), so guard the division arbitrarily.
-    safe_s = jnp.maximum(s, jnp.asarray(1e-20, p.dtype))
-    U = jnp.einsum("...iq,...qr->...ir", p, V) / safe_s[..., None, :]
+    q = p.shape[-1]
+    if q == 1:
+        # rank-1 fast path (the streaming hot loop): trivial thin SVD.
+        s2 = jnp.sum(p * p, axis=(-2, -1))[..., None]  # (..., 1)
+        s = jnp.sqrt(s2)
+        safe_s = jnp.maximum(s, jnp.asarray(1e-20, p.dtype))
+        U = p / safe_s[..., None, :]
+    else:
+        # Thin SVD of p via the q×q Gram matrix: p^T p = V diag(S^2) V^T.
+        gram = jnp.einsum("...iq,...ir->...qr", p, p)
+        s2, V = jnp.linalg.eigh(gram)  # ascending eigenvalues
+        s2 = jnp.maximum(s2, 0.0)
+        s = jnp.sqrt(s2)
+        # U_q = p V / S; a zero singular value means that direction
+        # contributes nothing (c = d = 0 below), so guard the division.
+        safe_s = jnp.maximum(s, jnp.asarray(1e-20, p.dtype))
+        U = jnp.einsum("...iq,...qr->...ir", p, V) / safe_s[..., None, :]
 
     c = jnp.sqrt(s2 + 1.0) - 1.0  # root eigenvalue update
     d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0  # inverse-root eigenvalue update

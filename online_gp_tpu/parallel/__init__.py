@@ -1,0 +1,8 @@
+from online_gp_tpu.parallel.mesh import (
+    make_mesh,
+    shard_leading,
+    replicate,
+    batched_trials_step,
+)
+
+__all__ = ["make_mesh", "shard_leading", "replicate", "batched_trials_step"]
