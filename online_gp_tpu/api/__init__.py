@@ -10,6 +10,10 @@ drivers port mechanically.
 from online_gp_tpu.api.stems import IdentityStem, LinearStem, MLPStem, make_stem
 from online_gp_tpu.api.regression import OnlineSKIRegression
 from online_gp_tpu.api.classification import OnlineSKIClassifier
+from online_gp_tpu.api.svgp import OnlineSVGPRegression, OnlineSVGPClassifier
+from online_gp_tpu.api.sgpr_regression import OnlineSGPRegression
+from online_gp_tpu.api.exact import OnlineExactRegression, OnlineExactClassifier
+from online_gp_tpu.api.localgp import OnlineLocalGPRegression
 
 __all__ = [
     "IdentityStem",
@@ -18,4 +22,10 @@ __all__ = [
     "make_stem",
     "OnlineSKIRegression",
     "OnlineSKIClassifier",
+    "OnlineSVGPRegression",
+    "OnlineSVGPClassifier",
+    "OnlineSGPRegression",
+    "OnlineExactRegression",
+    "OnlineExactClassifier",
+    "OnlineLocalGPRegression",
 ]

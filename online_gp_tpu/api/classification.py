@@ -68,6 +68,12 @@ class OnlineSKIClassifier:
         targets, _, sigma2 = dirichlet_transform(init_y, num_classes, alpha_eps)
 
         grid_bound = grid_bound + 1e-1
+        if grid_size**stem.output_dim > 65536:
+            raise ValueError(
+                f"SKI grid {grid_size}^{stem.output_dim} = {grid_size**stem.output_dim} inducing "
+                "points is infeasible; use a dimensionality-reducing stem "
+                "(e.g. LinearStem/MLPStem with feature_dim<=3) or a smaller grid"
+            )
         grid = Grid.create([(-grid_bound, grid_bound)] * stem.output_dim, grid_size)
         if isinstance(kernel, str):
             kernel = make_kernel(kernel)
@@ -75,7 +81,8 @@ class OnlineSKIClassifier:
         # noise (reference passes sigma2_i as the noise term directly)
         self.model = WiskiModel(kernel, grid, num_outputs=num_classes, learn_additional_noise=False)
         self.params = self.model.init_params(stem.output_dim)
-        self.state = wiski_init(self.model, feats, targets, sigma2)
+        self._init_fn = jax.jit(lambda f, t, n: wiski_init(self.model, f, t, n))
+        self.state = self._init_fn(feats, targets, sigma2)
 
         self.gp_opt = optax.adam(lr)
         self.gp_opt_state = self.gp_opt.init(self.params)
@@ -235,7 +242,7 @@ class OnlineSKIClassifier:
     def _refresh_state(self, inputs, targets, sigma2):
         feats, _ = self.stem.apply(self.stem_params, self.stem_state, inputs, train=False)
         feats = jax.lax.stop_gradient(feats)
-        self.state = wiski_init(self.model, feats, targets, sigma2)
+        self.state = self._init_fn(feats, targets, sigma2)
 
     def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):
         stem_lr = gp_lr if stem_lr is None else stem_lr

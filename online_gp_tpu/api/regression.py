@@ -75,6 +75,12 @@ class OnlineSKIRegression:
         feats = jax.lax.stop_gradient(feats)
 
         grid_bound = grid_bound + 1e-1
+        if grid_size**stem.output_dim > 65536:
+            raise ValueError(
+                f"SKI grid {grid_size}^{stem.output_dim} = {grid_size**stem.output_dim} inducing "
+                "points is infeasible; use a dimensionality-reducing stem "
+                "(e.g. LinearStem/MLPStem with feature_dim<=3) or a smaller grid"
+            )
         grid = Grid.create([(-grid_bound, grid_bound)] * stem.output_dim, grid_size)
         if isinstance(kernel, str):
             kernel = make_kernel(kernel)
@@ -82,8 +88,9 @@ class OnlineSKIRegression:
             kernel, grid, num_outputs=self.target_dim, learn_additional_noise=True
         )
         self.params = self.model.init_params(stem.output_dim)
+        self._init_fn = jax.jit(lambda f, t, n: wiski_init(self.model, f, t, n))
         noise = jnp.ones_like(init_y)
-        self.state = wiski_init(self.model, feats, init_y, noise)
+        self.state = self._init_fn(feats, init_y, noise)
 
         self.gp_opt = optax.adam(lr)
         self.gp_opt_state = self.gp_opt.init(self.params)
@@ -275,7 +282,7 @@ class OnlineSKIRegression:
     def _refresh_state(self, inputs, targets):
         feats, _ = self.stem.apply(self.stem_params, self.stem_state, inputs, train=False)
         feats = jax.lax.stop_gradient(feats)
-        self.state = wiski_init(self.model, feats, targets, jnp.ones_like(targets))
+        self.state = self._init_fn(feats, targets, jnp.ones_like(targets))
 
     def set_train_data(self, inputs, targets):
         self._refresh_state(

@@ -1,0 +1,313 @@
+"""Online SVGP task wrappers (regression + classification).
+
+Reference semantics (``online_gp/models/online_svgp_regression.py`` /
+``online_svgp_classifier.py``):
+
+- three optimizer groups: raw hypers at lr, variational params + inducing
+  points + stem at lr/10 (``param_groups``, regression lines 141-151),
+- ``fit``: streaming off, shuffled 1024-minibatch ELBO epochs with
+  beta=1.0 and cosine LR (lines 57-91),
+- ``update``: snapshot the old variational/prior dists, then
+  ``num_update_steps`` ELBO steps with beta=prior_beta and the Bui
+  streaming KL correction (lines 106-127),
+- regression predicts with observation noise added; classification is
+  probit-Bernoulli with p >= 0.5 decisions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.kernels.base import make_kernel, Kernel
+from online_gp_tpu.models.svgp import (
+    SVGPModel,
+    SVGPOldState,
+    svgp_predict,
+    svgp_elbo,
+    svgp_snapshot,
+    svgp_streaming_correction,
+    svgp_closed_form_update,
+    svgp_init_variational_to_prior,
+)
+from online_gp_tpu.likelihoods.bernoulli import bernoulli_probit_predictive
+from online_gp_tpu.api.stems import Stem
+from online_gp_tpu.utils.buffers import ReplayBuffer
+from online_gp_tpu.utils.metrics import batched_rmse_nll
+
+
+def _group_label(path: str) -> str:
+    if path.startswith(("z", "var_mean", "var_chol")):
+        return "variational"
+    return "hyper"
+
+
+def _make_optimizer(lr: float):
+    """hyper @ lr, variational @ lr/10 (reference param_groups)."""
+    def label_fn(params):
+        return {k: _group_label(k) for k in params}
+
+    return optax.multi_transform(
+        {"hyper": optax.adam(lr), "variational": optax.adam(lr / 10.0)}, label_fn
+    )
+
+
+class _OnlineSVGPBase:
+    likelihood = "gaussian"
+
+    def __init__(
+        self,
+        stem: Stem,
+        init_x,
+        init_y,
+        num_inducing: int = 64,
+        lr: float = 0.01,
+        streaming: bool = False,
+        prior_beta: float = 1.0,
+        online_beta: float = 1.0,
+        num_update_steps: int = 1,
+        kernel: str | Kernel = "rbf",
+        inducing_points=None,
+        cfg: SolverConfig = DEFAULT_CONFIG,
+        seed: int = 0,
+        **unused,
+    ):
+        init_x = jnp.asarray(init_x)
+        self.stem = stem
+        self.cfg = cfg
+        self.lr = lr
+        self.streaming = streaming
+        self.prior_beta = prior_beta
+        self.online_beta = online_beta
+        self.num_update_steps = num_update_steps
+
+        key = jax.random.PRNGKey(seed)
+        k_stem, k_z = jax.random.split(key)
+        self.stem_params, self.stem_state = stem.init(k_stem)
+        if inducing_points is None:
+            inducing_points = jax.random.uniform(
+                k_z, (num_inducing, stem.output_dim), minval=-1.0, maxval=1.0
+            )
+        if isinstance(kernel, str):
+            kernel = make_kernel(kernel)
+        self.model = SVGPModel(kernel, likelihood=self.likelihood)
+        self.params = self.model.init_params(inducing_points, stem.output_dim)
+        self.params = svgp_init_variational_to_prior(self.model, self.params)
+        self.old: Optional[SVGPOldState] = None
+
+        self.opt = _make_optimizer(lr)
+        self.opt_state = self.opt.init(self.params)
+        self.stem_opt = optax.adam(lr / 10.0)
+        self.stem_opt_state = self.stem_opt.init(self.stem_params)
+        self.buffer = ReplayBuffer(np.asarray(init_x))
+        self._jit_cache: Dict = {}
+
+    # -- shared jitted steps ----------------------------------------------
+
+    def _train_step_fn(self, q: int, num_data: int, beta: float, use_streaming: bool):
+        key = ("train", q, num_data, beta, use_streaming)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg, stem = self.model, self.cfg, self.stem
+        opt, stem_opt = self.opt, self.stem_opt
+        online_beta = self.online_beta
+
+        def fn(params, stem_params, bn_state, opt_state, stem_opt_state, old, x, y):
+            def loss_fn(p, sp):
+                feats, new_bn = stem.apply(sp, bn_state, x, train=True)
+                loss = -svgp_elbo(model, p, feats, y, num_data, beta, cfg)
+                if use_streaming:
+                    loss = loss + svgp_streaming_correction(model, p, old, q, online_beta, cfg)
+                return loss, new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, stem_params
+            )
+            up, opt_state = opt.update(grads[0], opt_state, params)
+            params = optax.apply_updates(params, up)
+            if stem.has_params:
+                sup, stem_opt_state = stem_opt.update(grads[1], stem_opt_state, stem_params)
+                stem_params = optax.apply_updates(stem_params, sup)
+            return params, stem_params, new_bn, opt_state, stem_opt_state, loss
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def _features(self, x, train=False):
+        feats, new_state = self.stem.apply(self.stem_params, self.stem_state, x, train=train)
+        if train:
+            self.stem_state = new_state
+        return feats
+
+    # -- public API --------------------------------------------------------
+
+    def fit(self, inputs, targets, num_epochs: int, test_dataset=None, batch_size: int = 1024):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets)
+        n = inputs.shape[0]
+        rng = np.random.default_rng(0)
+        records = []
+        sched = optax.cosine_decay_schedule(self.lr, max(num_epochs, 1), alpha=1e-4 / self.lr)
+        # fresh optimizers with the schedule for the fit phase
+        saved_opt = self.opt
+        self.opt = optax.multi_transform(
+            {"hyper": optax.adam(sched), "variational": optax.adam(lambda c: sched(c) / 10.0)},
+            lambda params: {k: _group_label(k) for k in params},
+        )
+        self.opt_state = self.opt.init(self.params)
+        self.stem_opt = optax.adam(lambda c: sched(c) / 10.0)
+        self.stem_opt_state = self.stem_opt.init(self.stem_params)
+        self._jit_cache = {}
+
+        bs = min(batch_size, n)
+        for epoch in range(num_epochs):
+            perm = rng.permutation(n)
+            avg_loss, num_batches = 0.0, 0
+            for start in range(0, n - bs + 1, bs):
+                idx = perm[start : start + bs]
+                step = self._train_step_fn(bs, n, 1.0, False)
+                (
+                    self.params,
+                    self.stem_params,
+                    self.stem_state,
+                    self.opt_state,
+                    self.stem_opt_state,
+                    loss,
+                ) = step(
+                    self.params,
+                    self.stem_params,
+                    self.stem_state,
+                    self.opt_state,
+                    self.stem_opt_state,
+                    None,
+                    inputs[idx],
+                    targets[idx],
+                )
+                avg_loss += float(loss)
+                num_batches += 1
+            records.append(self._fit_record(epoch, avg_loss / max(num_batches, 1), test_dataset))
+
+        self.opt = saved_opt
+        self.opt_state = self.opt.init(self.params)
+        self._jit_cache = {}
+        if self.streaming:
+            self.old = svgp_snapshot(self.model, self.params)
+        return records
+
+    def update(self, inputs, targets, update_stem: bool = True):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets)
+        q = inputs.shape[0]
+        use_streaming = self.streaming
+        if use_streaming:
+            self.old = svgp_snapshot(self.model, self.params)
+        step = self._train_step_fn(q, q, self.prior_beta, use_streaming)
+        loss = jnp.nan
+        for _ in range(self.num_update_steps):
+            (
+                self.params,
+                self.stem_params,
+                self.stem_state,
+                self.opt_state,
+                self.stem_opt_state,
+                loss,
+            ) = step(
+                self.params,
+                self.stem_params,
+                self.stem_state,
+                self.opt_state,
+                self.stem_opt_state,
+                self.old,
+                inputs,
+                targets,
+            )
+        self.buffer.append(np.asarray(inputs))
+        return float(loss), float(loss)
+
+    def closed_form_update(self, inputs, targets):
+        """The reference's ``update_variational_parameters`` arm (used by
+        the BayesOpt osvgp variant)."""
+        feats = self._features(jnp.asarray(inputs).reshape(-1, self.stem.input_dim))
+        self.old = svgp_snapshot(self.model, self.params)
+        self.params = svgp_closed_form_update(self.model, self.params, feats, jnp.asarray(targets))
+
+    def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):
+        self.lr = gp_lr
+        self.opt = _make_optimizer(gp_lr)
+        self.opt_state = self.opt.init(self.params)
+        self.stem_opt = optax.adam((stem_lr if stem_lr is not None else gp_lr) / 10.0)
+        self.stem_opt_state = self.stem_opt.init(self.stem_params)
+        self._jit_cache = {}
+
+    def _fit_record(self, epoch, loss, test_dataset):  # overridden per task
+        raise NotImplementedError
+
+
+class OnlineSVGPRegression(_OnlineSVGPBase):
+    likelihood = "gaussian"
+
+    def __init__(self, stem, init_x, init_y, **kw):
+        init_y = jnp.asarray(init_y)
+        assert init_y.ndim == 2
+        self.target_dim = init_y.shape[-1]
+        assert self.target_dim == 1, "multi-output O-SVGP: run one wrapper per output"
+        super().__init__(stem, init_x, init_y, **kw)
+
+    def predict(self, inputs):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        feats = self._features(inputs)
+        mean, var = svgp_predict(self.model, self.params, feats, self.cfg)
+        var = var + jnp.exp(self.params["raw_noise"])
+        return mean[:, None], var[:, None]
+
+    def evaluate(self, inputs, targets):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, 1)
+        return batched_rmse_nll(self.predict, inputs, targets)
+
+    def _fit_record(self, epoch, loss, test_dataset):
+        rmse = nll = float("nan")
+        if test_dataset is not None:
+            rmse, nll = self.evaluate(*test_dataset)
+        return {
+            "epoch": epoch + 1,
+            "train_loss": loss,
+            "test_rmse": rmse,
+            "test_nll": nll,
+            "noise": float(jnp.exp(self.params["raw_noise"])),
+        }
+
+    @property
+    def noise(self):
+        return jnp.exp(self.params["raw_noise"])
+
+
+class OnlineSVGPClassifier(_OnlineSVGPBase):
+    likelihood = "bernoulli"
+
+    def __init__(self, stem, init_x, init_y, **kw):
+        super().__init__(stem, init_x, jnp.asarray(init_y).reshape(-1, 1), **kw)
+
+    def predict(self, inputs):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        feats = self._features(inputs)
+        mean, var = svgp_predict(self.model, self.params, feats, self.cfg)
+        p = bernoulli_probit_predictive(mean, var)
+        return (p >= 0.5).astype(jnp.int32), p
+
+    def evaluate(self, inputs, labels):
+        pred, _ = self.predict(inputs)
+        labels = jnp.asarray(labels).reshape(-1)
+        return float(jnp.mean((pred == labels).astype(jnp.float32)))
+
+    def _fit_record(self, epoch, loss, test_dataset):
+        acc = float("nan")
+        if test_dataset is not None:
+            acc = self.evaluate(*test_dataset)
+        return {"epoch": epoch + 1, "train_loss": loss, "test_acc": acc}

@@ -1,0 +1,110 @@
+"""Monte-Carlo acquisition functions over WISKI posteriors.
+
+The reference gets qEI / qNEI / qUCB / qKG / qMVES from botorch
+(``experiments/bayesopt/utils.py:74-103``) and qNIPV from
+``botorch.acquisition.active_learning`` (``qnIPV_experiment.py:29``).
+TPU-native equivalents: every acquisition is a pure differentiable
+function of the q candidate points, built on
+
+- joint posterior samples  f = mean + R eps  with the grid-space
+  covariance root R = W_x chol(cov_cache)  (``wiski_predict_root``), and
+- the O(m^2) fantasy conditioning path for lookahead acquisitions
+  (``wiski_condition`` — variance reduction is y-independent).
+
+All use fixed base samples (the reference's IID/Sobol ``sampler`` with a
+fixed seed), so acquisition optimization is deterministic under jit/grad.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.models.wiski import (
+    WiskiModel,
+    WiskiState,
+    wiski_predict,
+    wiski_predict_root,
+    wiski_condition,
+)
+
+
+def _joint_samples(model, params, state, x, key, num_samples, cfg):
+    """(S, n) joint posterior samples at candidate points (output 0)."""
+    mean, root = wiski_predict_root(model, params, state, x, cfg)  # (B,n),(B,n,m)
+    eps = jax.random.normal(key, (num_samples, root.shape[-1]), mean.dtype)
+    return mean[0][None, :] + eps @ root[0].T  # (S, n)
+
+
+def q_expected_improvement(
+    model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
+    best_f: jnp.ndarray, key, num_samples: int = 256, cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """qEI(X) = E[max_j relu(f(x_j) - best_f)]."""
+    f = _joint_samples(model, params, state, x, key, num_samples, cfg)
+    return jnp.mean(jnp.max(jax.nn.relu(f - best_f), axis=-1))
+
+
+def q_upper_confidence_bound(
+    model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
+    beta: float, cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """qUCB(X) = E[max_j (mu_j + sqrt(beta*pi/2)|z_j|)] — closed-ish MC-free
+    upper bound using the marginal stds (exact for q=1)."""
+    mean, var = wiski_predict(model, params, state, x, cfg)
+    ucb = mean[0] + jnp.sqrt(beta * jnp.maximum(var[0], 1e-12))
+    return jnp.max(ucb)
+
+
+def q_noisy_expected_improvement(
+    model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
+    x_baseline: jnp.ndarray, key, num_samples: int = 256, cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """qNEI(X) = E[max f(X) - max f(X_baseline)]_+ over joint samples."""
+    q = x.shape[0]
+    joint = jnp.concatenate([x, x_baseline], axis=0)
+    f = _joint_samples(model, params, state, joint, key, num_samples, cfg)
+    new_max = jnp.max(f[:, :q], axis=-1)
+    base_max = jnp.max(f[:, q:], axis=-1)
+    return jnp.mean(jax.nn.relu(new_max - base_max))
+
+
+def q_knowledge_gradient(
+    model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
+    x_discrete: jnp.ndarray, current_best: jnp.ndarray, key,
+    num_fantasies: int = 16, cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """One-step lookahead over a discrete candidate grid: sample fantasy
+    observations at X, condition the caches (O(m^2) per fantasy), and
+    average the resulting max posterior mean gain."""
+    mean, root = wiski_predict_root(model, params, state, x, cfg)
+    eps = jax.random.normal(key, (num_fantasies, root.shape[-1]), mean.dtype)
+    fant_y = mean[0][None, :] + eps @ root[0].T  # (F, q)
+
+    def one_fantasy(yf):
+        noise = jnp.ones((x.shape[0], model.num_outputs), x.dtype)
+        st = wiski_condition(model, state, x, yf[:, None], noise)
+        m, _ = wiski_predict(model, params, st, x_discrete, cfg.replace(skip_posterior_variances=True))
+        return jnp.max(m[0])
+
+    vals = jax.vmap(one_fantasy)(fant_y)
+    return jnp.mean(vals) - current_best
+
+
+def q_negative_integrated_posterior_variance(
+    model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
+    mc_points: jnp.ndarray, cfg: SolverConfig = DEFAULT_CONFIG,
+    noise_value: float = 1.0,
+) -> jnp.ndarray:
+    """qNIPV(X) = -mean_i Var[f(s_i) | D + X] — the active-learning
+    acquisition (reference ``qnIPV_experiment.py:179-183``). The fantasy
+    variance is y-independent, so one conditioning pass suffices."""
+    q = x.shape[0]
+    dummy_y = jnp.zeros((q, model.num_outputs), x.dtype)
+    noise = jnp.full((q, model.num_outputs), noise_value, x.dtype)
+    st = wiski_condition(model, state, x, dummy_y, noise, detach_interp=False)
+    _, var = wiski_predict(model, params, st, mc_points, cfg)
+    return -jnp.mean(var)

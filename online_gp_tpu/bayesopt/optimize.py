@@ -1,0 +1,75 @@
+"""Gradient-based acquisition optimization (botorch ``optimize_acqf``
+equivalent).
+
+Pattern follows the reference's own candidate generator
+(``experiments/active_learning/mpv_osvgp.py:68-95``): reparametrize
+candidates into unconstrained space with a log-odds transform, run Adam
+with an early-stopping loop — here over many restarts *in parallel*
+(vmapped), fully jitted, with `lax.while_loop` for the stopping rule.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def optimize_acqf(
+    acqf: Callable[[jnp.ndarray], jnp.ndarray],
+    bounds: jnp.ndarray,
+    q: int,
+    num_restarts: int = 10,
+    raw_samples: int = 64,
+    maxiter: int = 200,
+    lr: float = 0.05,
+    key=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Maximize a q-batch acquisition over box bounds.
+
+    Args:
+      acqf: (q, d) -> scalar acquisition value (maximized).
+      bounds: (d, 2).
+      q: candidates per batch.
+
+    Returns:
+      best candidates (q, d), best acquisition value.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    d = bounds.shape[0]
+    lo, hi = bounds[:, 0], bounds[:, 1]
+
+    def to_x(t):  # unconstrained -> box
+        return lo + (hi - lo) * jax.nn.sigmoid(t)
+
+    # initialization heuristic: score raw samples, take the best as starts
+    k1, k2 = jax.random.split(key)
+    raw = jax.random.uniform(k1, (raw_samples, q, d), minval=0.02, maxval=0.98)
+    raw_x = lo + (hi - lo) * raw
+    raw_vals = jax.vmap(acqf)(raw_x)
+    top = jnp.argsort(-raw_vals)[:num_restarts]
+    starts = jnp.log(raw[top] / (1.0 - raw[top]))  # logit init
+
+    opt = optax.adam(lr)
+
+    def restart_opt(t0):
+        def cond(carry):
+            t, os_, it, last, cur = carry
+            return jnp.logical_and(it < maxiter, jnp.logical_or(it < 2, cur > last + 1e-9))
+
+        def body(carry):
+            t, os_, it, last, cur = carry
+            val, g = jax.value_and_grad(lambda tt: acqf(to_x(tt)))(t)
+            up, os_ = opt.update(jax.tree.map(jnp.negative, g), os_)
+            t = optax.apply_updates(t, up)
+            return (t, os_, it + 1, cur, val)
+
+        carry = (t0, opt.init(t0), jnp.asarray(0), -jnp.inf, -jnp.inf)
+        t, _, _, _, val = jax.lax.while_loop(cond, body, carry)
+        return to_x(t), acqf(to_x(t))
+
+    xs, vals = jax.vmap(restart_opt)(starts)
+    best = jnp.argmax(vals)
+    return xs[best], vals[best]

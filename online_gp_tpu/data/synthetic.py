@@ -26,12 +26,13 @@ def streaming_friedman(n: int = 4000, noise: float = 0.1, seed: int = 0, num_dim
     rng = np.random.default_rng(seed)
     x = rng.uniform(-1.0, 1.0, size=(n, num_dims)).astype(np.float32)
     u = (x + 1.0) / 2.0
-    y = (
-        10.0 * np.sin(np.pi * u[:, 0] * u[:, 1])
-        + 20.0 * (u[:, 2] - 0.5) ** 2
-        + 10.0 * u[:, 3]
-        + 5.0 * u[:, 4 % num_dims]
-    )
+    y = 10.0 * np.sin(np.pi * u[:, 0] * u[:, 1 % num_dims])
+    if num_dims > 2:
+        y = y + 20.0 * (u[:, 2] - 0.5) ** 2
+    if num_dims > 3:
+        y = y + 10.0 * u[:, 3]
+    if num_dims > 4:
+        y = y + 5.0 * u[:, 4]
     y = (y - y.mean()) / y.std()
     y = (y + noise * rng.standard_normal(y.shape)).astype(np.float32)[:, None]
     return train_test_split(x, y, test_ratio=0.1, seed=seed)

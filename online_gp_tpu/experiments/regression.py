@@ -1,0 +1,127 @@
+"""Streaming-regression experiment driver.
+
+TPU re-build of the reference's ``experiments/regression.py``: batch model
+fit -> online model init on ``init_ratio`` of the stream -> optional
+pretrain -> prequential evaluate/update loop with regret-vs-batch
+bookkeeping and the ``online_metrics`` CSV schema (stem_loss, gp_loss,
+batch/online rmse+nll, regret, test_rmse, test_nll, noise, step_time).
+
+Usage (Hydra-style overrides):
+    python -m online_gp_tpu.experiments.regression \
+        model=wiski_gp_regression dataset=skillcraft stem=eye batch_size=1
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from online_gp_tpu.experiments.config import parse_config
+from online_gp_tpu.experiments.common import build_model, load_dataset, pretrain_stem
+from online_gp_tpu.logging import CSVLogger
+
+
+def online_regression(batch_model, online_model, train_x, train_y, test_x, test_y,
+                      update_stem, batch_size, logger, logging_freq, max_stream=None):
+    online_rmse = online_nll = 0.0
+    batch_rmse = batch_nll = 0.0
+    logger.add_table("online_metrics")
+    n = len(train_x)
+    if max_stream:
+        n = min(n, max_stream)
+
+    for t, start in enumerate(range(0, n - batch_size + 1, batch_size)):
+        x = train_x[start : start + batch_size]
+        y = train_y[start : start + batch_size]
+        t0 = time.time()
+        o_rmse, o_nll = online_model.evaluate(x, y)
+        stem_loss, gp_loss = online_model.update(x, y, update_stem=update_stem)
+        step_time = time.time() - t0
+
+        b_rmse, b_nll = batch_model.evaluate(x, y)
+        online_rmse += o_rmse
+        online_nll += o_nll
+        batch_rmse += b_rmse
+        batch_nll += b_nll
+        regret = online_rmse - batch_rmse
+
+        if t % logging_freq == (logging_freq - 1):
+            rmse, nll = online_model.evaluate(test_x, test_y)
+            print(f"T: {t + 1}, test RMSE: {rmse:0.4f}, test NLL: {nll:0.4f}")
+            logger.log(
+                dict(
+                    stem_loss=stem_loss,
+                    gp_loss=gp_loss,
+                    batch_rmse=batch_rmse,
+                    batch_nll=batch_nll,
+                    online_rmse=online_rmse,
+                    online_nll=online_nll,
+                    regret=regret,
+                    test_rmse=rmse,
+                    test_nll=nll,
+                    noise=float(np.mean(np.asarray(online_model.noise))),
+                    step_time=step_time,
+                ),
+                step=(t + 1) * batch_size,
+                table_name="online_metrics",
+            )
+            logger.write_csv()
+
+
+def regression_trial(cfg) -> dict:
+    logger = CSVLogger(cfg["log_dir"], f"{cfg['model']['name']}-{cfg['dataset']['name']}-trial{cfg['trial_id']}")
+    logger.write_config(cfg)
+    train_x, train_y, test_x, test_y = load_dataset(cfg)
+    print(f"dataset {cfg['dataset']['name']}: train {train_x.shape}, test {test_x.shape}")
+
+    batch_model = build_model(cfg, train_x, train_y)
+    if cfg["pretrain_stem"]["enabled"] and batch_model.stem.has_params:
+        sp, bn, recs = pretrain_stem(batch_model.stem, batch_model.stem_params,
+                                     batch_model.stem_state, train_x, train_y,
+                                     **cfg["pretrain_stem"])
+        batch_model.stem_params, batch_model.stem_state = sp, bn
+        logger.tables["batch_pretrain_stem_metrics"] = recs
+
+    print("==== training GP in batch setting ====")
+    base_lr = cfg["dataset"]["base_lr"]
+    batch_model.set_lr(gp_lr=base_lr, stem_lr=base_lr / 10)
+    batch_metrics = batch_model.fit(train_x, train_y, cfg["num_batch_epochs"], (test_x, test_y))
+    logger.tables["batch_metrics"] = batch_metrics
+    logger.write_csv()
+
+    num_init = int(cfg["model"]["init_ratio"] * len(train_x))
+    init_x, stream_x = train_x[:num_init], train_x[num_init:]
+    init_y, stream_y = train_y[:num_init], train_y[num_init:]
+    print(f"==== training model in online setting, N: {len(stream_x)} ====")
+    online_model = build_model(cfg, init_x, init_y)
+
+    if cfg["pretrain"]:
+        online_model.set_lr(gp_lr=base_lr, stem_lr=base_lr / 10)
+        pretrain_metrics = online_model.fit(init_x, init_y, cfg["num_batch_epochs"], (test_x, test_y))
+        logger.tables["pretrain_metrics"] = pretrain_metrics
+        logger.write_csv()
+
+    online_model.set_lr(gp_lr=base_lr / 10, stem_lr=base_lr / 100)
+    online_regression(
+        batch_model, online_model, stream_x, stream_y, test_x, test_y,
+        cfg["update_stem"], cfg["batch_size"], logger, cfg["logging_freq"],
+        cfg.get("max_stream"),
+    )
+    logger.write_csv()
+    final_rmse, final_nll = online_model.evaluate(test_x, test_y)
+    print(f"final online test RMSE {final_rmse:.4f} NLL {final_nll:.4f} "
+          f"(dataset baseline: {cfg['dataset'].get('baseline_rmse')})")
+    return dict(test_rmse=final_rmse, test_nll=final_nll, log_dir=logger.log_dir)
+
+
+def main():
+    cfg = parse_config(sys.argv[1:])
+    np.random.seed(cfg["seed"])
+    return regression_trial(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,16 +121,17 @@ def wiski_init(
     ydy = jnp.zeros((B,), dtype)
     A = jnp.zeros((B, m, m), dtype)
 
-    for start in range(0, n, chunk):
-        xs = x[start : start + chunk]
-        ys = y[start : start + chunk]
-        ns = noise[start : start + chunk]
-        idx, w = interp_coeffs(model.grid, xs, detach=detach_interp)
-        wt = dense_w(idx, w, m)  # (m, c)
-        dinv_y = ys / ns  # (c, B)
-        wty = wty + jnp.einsum("mc,cb->bm", wt, dinv_y)[..., None]
-        ydy = ydy + jnp.sum(ys * dinv_y, axis=0)
-        A = A + jnp.einsum("mc,cb,kc->bmk", wt, 1.0 / ns, wt)
+    with jax.default_matmul_precision("float32"):
+        for start in range(0, n, chunk):
+            xs = x[start : start + chunk]
+            ys = y[start : start + chunk]
+            ns = noise[start : start + chunk]
+            idx, w = interp_coeffs(model.grid, xs, detach=detach_interp)
+            wt = dense_w(idx, w, m)  # (m, c)
+            dinv_y = ys / ns  # (c, B)
+            wty = wty + jnp.einsum("mc,cb->bm", wt, dinv_y)[..., None]
+            ydy = ydy + jnp.sum(ys * dinv_y, axis=0)
+            A = A + jnp.einsum("mc,cb,kc->bmk", wt, 1.0 / ns, wt)
 
     d_logdet = jnp.sum(jnp.log(noise), axis=0)  # (B,)
     roots = root_cache_init(A, jitter=root_jitter)
@@ -197,16 +198,21 @@ def _kuu_eff(model: WiskiModel, params: Dict) -> jnp.ndarray:
 
 
 def _q_factor(model: WiskiModel, params: Dict, state: WiskiState):
-    """Shared pieces: Kuu_eff, KuuL, chol(Q), proj = L^T Kuu W D^{-1} y."""
-    Kuu = _kuu_eff(model, params)
-    L = state.roots.root
-    KuuL = Kuu @ L  # (B, m, m)
-    m = KuuL.shape[-1]
-    Q = jnp.eye(m, dtype=KuuL.dtype) + jnp.einsum("bji,bjk->bik", L, KuuL)
-    Lq = jnp.linalg.cholesky(Q)  # Q = I + PSD: well conditioned, no jitter
-    Kuu_wty = Kuu @ state.wty  # (B, m, 1)
-    proj = jnp.einsum("bji,bjk->bik", L, Kuu_wty)  # (B, m, 1)
-    return Kuu, KuuL, Lq, Kuu_wty, proj
+    """Shared pieces: Kuu_eff, KuuL, chol(Q), proj = L^T Kuu W D^{-1} y.
+
+    Matmul precision is pinned to true float32: Q's conditioning scales
+    with num_data and bf16-pass accumulation on TPU can push it
+    indefinite."""
+    with jax.default_matmul_precision("float32"):
+        Kuu = _kuu_eff(model, params)
+        L = state.roots.root
+        KuuL = Kuu @ L  # (B, m, m)
+        m = KuuL.shape[-1]
+        Q = jnp.eye(m, dtype=KuuL.dtype) + jnp.einsum("bji,bjk->bik", L, KuuL)
+        Lq = jnp.linalg.cholesky(Q)  # Q = I + PSD: well conditioned, no jitter
+        Kuu_wty = Kuu @ state.wty  # (B, m, 1)
+        proj = jnp.einsum("bji,bjk->bik", L, Kuu_wty)  # (B, m, 1)
+        return Kuu, KuuL, Lq, Kuu_wty, proj
 
 
 def wiski_mll(
@@ -273,15 +279,16 @@ def wiski_prediction_caches(
     hyperparameter/state change and closed over for many predict calls.
     """
     _, KuuL, Lq, Kuu_wty, proj = _q_factor(model, params, state)
-    mean_cache = Kuu_wty - KuuL @ cho_solve(Lq, proj)
-    if cfg.skip_posterior_variances:
-        return mean_cache, None
-    Kuu = _kuu_eff(model, params)
-    # R = KuuL Lq^{-T} so cov = Kuu - R R^T (the fast_pred_var LOVE root is
-    # exactly R; with a dense Cholesky both branches coincide).
-    R = tri_solve(Lq, KuuL.swapaxes(-1, -2))  # (B, m, m): Lq^{-1} (KuuL)^T
-    cov_cache = Kuu - jnp.einsum("bki,bkj->bij", R, R)
-    return mean_cache, cov_cache
+    with jax.default_matmul_precision("float32"):
+        mean_cache = Kuu_wty - KuuL @ cho_solve(Lq, proj)
+        if cfg.skip_posterior_variances:
+            return mean_cache, None
+        Kuu = _kuu_eff(model, params)
+        # R = KuuL Lq^{-T} so cov = Kuu - R R^T (the fast_pred_var LOVE root
+        # is exactly R; with a dense Cholesky both branches coincide).
+        R = tri_solve(Lq, KuuL.swapaxes(-1, -2))  # (B, m, m): Lq^{-1} (KuuL)^T
+        cov_cache = Kuu - jnp.einsum("bki,bkj->bij", R, R)
+        return mean_cache, cov_cache
 
 
 def wiski_predict(

@@ -16,6 +16,13 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+# TPU matmuls default to bf16-accumulated passes; factorizations and
+# triangular solves need true float32 accumulation or ill-conditioned
+# systems (e.g. SKI Gram matrices with unsupported grid points) produce
+# garbage/NaN. Pin the precision inside every op in this module.
+def _highest():
+    return jax.default_matmul_precision("float32")
+
 
 def psd_safe_cholesky(
     mat: jnp.ndarray,
@@ -42,16 +49,18 @@ def psd_safe_cholesky(
         shift = (eps * diag_scale)[..., None, None] * eye
         return jnp.linalg.cholesky(mat + shift)
 
-    chol = attempt(0)
-    for level in range(1, tries):
-        ok = jnp.isfinite(chol).all(axis=(-2, -1), keepdims=True)
-        chol = jnp.where(ok, chol, attempt(level))
-    return chol
+    with _highest():
+        chol = attempt(0)
+        for level in range(1, tries):
+            ok = jnp.isfinite(chol).all(axis=(-2, -1), keepdims=True)
+            chol = jnp.where(ok, chol, attempt(level))
+        return chol
 
 
 def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, trans: bool = False) -> jnp.ndarray:
     """Triangular solve L x = rhs (or L^T x = rhs when trans)."""
-    return solve_triangular(chol, rhs, lower=True, trans=1 if trans else 0)
+    with _highest():
+        return solve_triangular(chol, rhs, lower=True, trans=1 if trans else 0)
 
 
 def cho_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -75,4 +84,5 @@ def inv_lower_transpose(chol: jnp.ndarray) -> jnp.ndarray:
     """L^{-T} — the inverse-root B with (L L^T)^{-1} = B B^T."""
     n = chol.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=chol.dtype), chol.shape)
-    return solve_triangular(chol, eye, lower=True, trans=1)
+    with _highest():
+        return solve_triangular(chol, eye, lower=True, trans=1)

@@ -70,6 +70,11 @@ def root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
     Returns:
       updated RootCache.
     """
+    with jax.default_matmul_precision("float32"):
+        return _root_cache_update_impl(cache, v)
+
+
+def _root_cache_update_impl(cache: RootCache, v: jnp.ndarray) -> RootCache:
     L, B = cache.root, cache.inv_root
     p = jnp.einsum("...ji,...jq->...iq", B, v)  # B^T v: (..., m, q)
 

@@ -1,0 +1,97 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_gp_tpu.bayesopt.test_functions import make_test_function, TEST_FUNCTIONS
+from online_gp_tpu.bayesopt.optimize import optimize_acqf
+from online_gp_tpu.bayesopt import acquisitions as acq
+from online_gp_tpu.kernels.base import RBFKernel
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.models.wiski import WiskiModel, wiski_init, wiski_predict
+
+
+def test_known_optima():
+    # negated convention: maxima at the canonical minimizers
+    for name, argmin in [("Ackley", 0.0), ("Griewank", 0.0), ("Rastrigin", 0.0),
+                         ("Levy", 1.0), ("Rosenbrock", 1.0)]:
+        fn = make_test_function(name, 3)
+        x_opt = jnp.full((1, 3), argmin)
+        np.testing.assert_allclose(float(fn(x_opt)[0]), 0.0, atol=1e-5)
+        x_rand = jnp.full((1, 3), 2.5)
+        assert float(fn(x_rand)[0]) < -0.5  # strictly worse elsewhere
+
+
+def test_optimize_acqf_concave():
+    target = jnp.asarray([0.3, -0.2])
+    acqf = lambda X: -jnp.sum((X - target) ** 2)
+    bounds = jnp.asarray([[-1.0, 1.0], [-1.0, 1.0]])
+    x, val = optimize_acqf(acqf, bounds, q=1, num_restarts=4, raw_samples=16, maxiter=200, lr=0.1)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(target), atol=0.05)
+
+
+@pytest.fixture(scope="module")
+def wiski_posterior():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (40, 2), minval=-1, maxval=1)
+    y = jnp.sin(3 * x[:, :1])
+    grid = Grid.create([(-1.1, 1.1)] * 2, 10)
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1)
+    params = model.init_params(2, lengthscale=0.5)
+    state = wiski_init(model, x, y, jnp.ones_like(y) * 0.1)
+    return model, params, state, x
+
+
+def test_qei_nonnegative_and_informative(wiski_posterior):
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(1)
+    cand = jnp.asarray([[0.5, 0.5]])
+    best_hi = jnp.asarray(100.0)
+    ei_hi = acq.q_expected_improvement(model, params, state, cand, best_hi, key)
+    ei_lo = acq.q_expected_improvement(model, params, state, cand, jnp.asarray(-100.0), key)
+    assert float(ei_hi) < 1e-4  # nothing improves on best_f=100
+    assert float(ei_lo) > 50.0  # everything improves on best_f=-100
+
+
+def test_qucb_exceeds_mean(wiski_posterior):
+    model, params, state, x = wiski_posterior
+    cand = jnp.asarray([[0.2, -0.4]])
+    mean, _ = wiski_predict(model, params, state, cand)
+    val = acq.q_upper_confidence_bound(model, params, state, cand, beta=4.0)
+    assert float(val) > float(mean[0, 0])
+
+
+def test_qnipv_prefers_unexplored(wiski_posterior):
+    model, params, state, x = wiski_posterior
+    mc = jax.random.uniform(jax.random.PRNGKey(2), (128, 2), minval=-1, maxval=1)
+    # conditioning anywhere reduces integrated variance -> acq > -mean(var)
+    base_var = wiski_predict(model, params, state, mc)[1].mean()
+    v = acq.q_negative_integrated_posterior_variance(model, params, state, jnp.asarray([[0.0, 0.0]]), mc)
+    assert float(v) > -float(base_var)
+    # it is differentiable wrt the candidate
+    g = jax.grad(lambda c: acq.q_negative_integrated_posterior_variance(model, params, state, c, mc))(
+        jnp.asarray([[0.1, 0.1]])
+    )
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_qkg_and_qnei_finite(wiski_posterior):
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(3)
+    disc = jax.random.uniform(key, (64, 2), minval=-1, maxval=1)
+    kg = acq.q_knowledge_gradient(model, params, state, jnp.asarray([[0.3, 0.3]]), disc,
+                                  jnp.asarray(0.5), key, num_fantasies=4)
+    nei = acq.q_noisy_expected_improvement(model, params, state, jnp.asarray([[0.3, 0.3]]),
+                                           x[:16], key, num_samples=64)
+    assert np.isfinite(float(kg)) and np.isfinite(float(nei))
+    assert float(nei) >= 0.0
+
+
+def test_bayesopt_loop_improves():
+    jax.config.update("jax_platforms", "cpu")
+    from online_gp_tpu.bayesopt.loop import run_bayesopt
+
+    out = run_bayesopt(function="Ackley", dim=2, acqf="ucb", num_steps=8, num_init=8,
+                       grid_size=8, fit_iters=20, seed=0, verbose=False)
+    assert out["best_per_step"][-1] >= out["best_per_step"][0]
+    assert len(out["records"]) == 8

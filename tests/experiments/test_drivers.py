@@ -1,0 +1,59 @@
+"""Experiment driver + config-system tests (scaled-down end-to-end runs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from online_gp_tpu.experiments.config import parse_config
+
+
+def test_config_grammar():
+    cfg = parse_config(["model=svgp_regression", "dataset=powerplant", "stem=mlp",
+                        "model.lr=0.003", "batch_size=8", "solver.cg_tolerance=0.1"])
+    assert cfg["model"]["name"] == "svgp_regression"
+    assert cfg["model"]["lr"] == 0.003
+    assert cfg["dataset"]["baseline_rmse"] == 0.2169
+    assert cfg["stem"]["input_dim"] == 4
+    # ${batch_size} interpolation
+    assert cfg["model"]["num_update_steps"] == 8
+    assert cfg["solver"]["cg_tolerance"] == 0.1
+
+
+def test_config_rejects_unknown():
+    with pytest.raises(ValueError, match="unknown model"):
+        parse_config(["model=nope"])
+    with pytest.raises(ValueError, match="key=value"):
+        parse_config(["--flag"])
+
+
+def test_regression_driver_end_to_end(tmp_path):
+    from online_gp_tpu.experiments.regression import regression_trial
+
+    cfg = parse_config([
+        "model=wiski_gp_regression", "dataset=friedman", "stem=linear",
+        "num_batch_epochs=10", "logging_freq=20", "max_stream=60",
+        f"log_dir={tmp_path}", "dataset.input_dim=2",
+    ])
+    out = regression_trial(cfg)
+    assert np.isfinite(out["test_rmse"])
+    for table in ("online_metrics", "batch_metrics", "pretrain_metrics"):
+        assert os.path.exists(os.path.join(out["log_dir"], f"{table}.csv")), table
+    # reference online_metrics schema
+    header = open(os.path.join(out["log_dir"], "online_metrics.csv")).readline().strip().split(",")
+    for col in ("stem_loss", "gp_loss", "online_rmse", "batch_rmse", "regret",
+                "test_rmse", "test_nll", "noise", "step_time"):
+        assert col in header, col
+
+
+def test_classification_driver_end_to_end(tmp_path):
+    from online_gp_tpu.experiments.classification import classification_trial
+
+    cfg = parse_config([
+        "model=wiski_gpd", "dataset=banana", "stem=eye",
+        "num_batch_epochs=15", "logging_freq=30", "max_stream=60",
+        f"log_dir={tmp_path}",
+    ])
+    out = classification_trial(cfg)
+    assert out["test_acc"] >= 0.7
+    assert os.path.exists(os.path.join(out["log_dir"], "online_metrics.csv"))

@@ -1,0 +1,141 @@
+"""Core-level tests for the O-SVGP and O-SGPR model families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from online_gp_tpu.kernels.base import RBFKernel
+from online_gp_tpu.models.svgp import (
+    SVGPModel,
+    svgp_predict,
+    svgp_elbo,
+    svgp_kl_to_prior,
+    svgp_snapshot,
+    svgp_streaming_correction,
+    svgp_closed_form_update,
+    svgp_init_variational_to_prior,
+)
+from online_gp_tpu.models.sgpr import (
+    SGPRModel,
+    sgpr_bound,
+    sgpr_absorb,
+    sgpr_predict,
+    sgpr_resample_z,
+)
+
+DT = jnp.float32
+
+
+def _sine_data(n=200, noise=0.1, seed=0):
+    kx, ky = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.uniform(kx, (n, 1), minval=-1.0, maxval=1.0, dtype=DT)
+    y = jnp.sin(3 * x[:, 0]) + noise * jax.random.normal(ky, (n,), dtype=DT)
+    return x, y
+
+
+class TestSVGP:
+    def _trained(self, steps=400):
+        x, y = _sine_data()
+        model = SVGPModel(RBFKernel())
+        z = jnp.linspace(-1, 1, 16, dtype=DT)[:, None]
+        params = svgp_init_variational_to_prior(model, model.init_params(z, 1, lengthscale=0.4))
+        g = jax.jit(jax.grad(lambda p: -svgp_elbo(model, p, x, y, x.shape[0], 1.0)))
+        opt = optax.adam(0.05)
+        os_ = opt.init(params)
+        for _ in range(steps):
+            up, os_ = opt.update(g(params), os_, params)
+            params = optax.apply_updates(params, up)
+        return model, params, x, y
+
+    def test_elbo_training_fits(self):
+        model, params, x, y = self._trained()
+        mean, var = svgp_predict(model, params, x)
+        rmse = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
+        assert rmse < 0.15
+        assert float(svgp_kl_to_prior(model, params)) > 0
+
+    def test_prior_init_kl_zero(self):
+        model = SVGPModel(RBFKernel())
+        z = jnp.linspace(-1, 1, 12, dtype=DT)[:, None]
+        params = svgp_init_variational_to_prior(model, model.init_params(z, 1))
+        assert abs(float(svgp_kl_to_prior(model, params))) < 1e-2
+
+    def test_streaming_correction_finite_and_zero_selfkl(self):
+        model, params, x, y = self._trained(steps=100)
+        old = svgp_snapshot(model, params)
+        corr = svgp_streaming_correction(model, params, old, 1, 1.0)
+        assert bool(jnp.isfinite(corr))
+
+    def test_closed_form_update_stable(self):
+        model, params, x, y = self._trained()
+        mean0, _ = svgp_predict(model, params, x)
+        rmse0 = float(jnp.sqrt(jnp.mean((mean0 - y) ** 2)))
+        x2, y2 = _sine_data(n=20, seed=7)
+        new_params = svgp_closed_form_update(model, params, x2, y2)
+        assert bool(jnp.isfinite(new_params["var_mean"]).all())
+        assert bool(jnp.isfinite(new_params["var_chol"]).all())
+        mean1, _ = svgp_predict(model, new_params, x)
+        rmse1 = float(jnp.sqrt(jnp.mean((mean1 - y) ** 2)))
+        assert rmse1 < rmse0 + 0.05  # absorbing consistent data shouldn't hurt
+
+
+class TestSGPR:
+    def _trained(self):
+        x, y = _sine_data(n=300)
+        model = SGPRModel(RBFKernel())
+        z = jnp.linspace(-1, 1, 16, dtype=DT)[:, None]
+        params = model.init_params(z, 1, lengthscale=0.4)
+        g = jax.jit(jax.grad(lambda p: -sgpr_bound(model, p, None, x[:150], y[:150])))
+        opt = optax.adam(0.05)
+        os_ = opt.init(params)
+        for _ in range(300):
+            up, os_ = opt.update(g(params), os_, params)
+            params = optax.apply_updates(params, up)
+        return model, params, x, y
+
+    def test_bound_fit_and_absorb(self):
+        model, params, x, y = self._trained()
+        params, old, mo = sgpr_absorb(model, params, None, None, x[:150], y[:150])
+        mean, var = sgpr_predict(model, params, mo, x)
+        assert float(jnp.sqrt(jnp.mean((mean - y) ** 2))) < 0.2
+        assert bool((var > 0).all())
+
+    def test_exact_stream_no_leak(self):
+        model, params, x, y = self._trained()
+        params, old, mo = sgpr_absorb(model, params, None, None, x[:150], y[:150])
+        mean, _ = sgpr_predict(model, params, mo, x)
+        base = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
+        for t in range(150, 300):
+            params, old, mo = sgpr_absorb(
+                model, params, old, mo, x[t : t + 1], y[t : t + 1], rebase=False
+            )
+        mean, _ = sgpr_predict(model, params, mo, x)
+        streamed = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
+        assert streamed < base + 0.03  # 150 single-point absorbs, no drift
+
+    def test_stream_matches_batch(self):
+        model, params, x, y = self._trained()
+        p1, o1, m1 = sgpr_absorb(model, params, None, None, x, y)
+        p2, o2, m2 = sgpr_absorb(model, params, None, None, x[:150], y[:150])
+        for s in range(150, 300, 30):
+            p2, o2, m2 = sgpr_absorb(model, p2, o2, m2, x[s : s + 30], y[s : s + 30], rebase=False)
+        mean1, _ = sgpr_predict(model, p1, m1, x)
+        mean2, _ = sgpr_predict(model, p2, m2, x)
+        np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2), atol=5e-3)
+
+    def test_resample_z_moves_points(self):
+        model, params, x, y = self._trained()
+        z_new = sgpr_resample_z(params, x[:50], 0.25, jax.random.PRNGKey(0))
+        assert z_new.shape == params["z"].shape
+        moved = int(jnp.sum(jnp.any(jnp.abs(z_new - params["z"]) > 1e-3, axis=-1)))
+        assert moved >= 3  # 25% of 16
+
+    def test_bound_uses_old_state(self):
+        model, params, x, y = self._trained()
+        params, old, mo = sgpr_absorb(model, params, None, None, x[:150], y[:150])
+        v_first = sgpr_bound(model, params, None, x[150:200], y[150:200])
+        v_stream = sgpr_bound(model, params, old, x[150:200], y[150:200])
+        assert not np.allclose(float(v_first), float(v_stream))
+        assert np.isfinite(float(v_stream))
