@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: fused rank-1 maintained-root update.
+
+The q=1 streaming-conditioning hot loop (see
+:func:`online_gp_tpu.ops.root_update.root_cache_update`) is HBM-bandwidth
+bound: per update it must read and rewrite the three m×m state matrices
+(L, B, A). The XLA path materializes the intermediates p = B^T v,
+LU = L u, BU = B u as separate HBM round-trips; this kernel fuses the
+whole update into two passes:
+
+  pass 1 (reduction):  p = B^T v, accumulated over row-tiles of B
+  pass 2 (row-tiled):  given u = p/|p| and the scalar eigen-updates
+                       c = sqrt(|p|^2+1)-1, d = 1/sqrt(|p|^2+1)-1:
+     L_i <- L_i + c (L_i u) u^T
+     B_i <- B_i + d (B_i u) u^T
+     A_i <- A_i + v_i v^T
+
+so L/B/A stream through VMEM exactly once each way. Falls back to the
+XLA path on CPU (tests) via ``interpret`` off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from online_gp_tpu.ops.root_update import RootCache, root_cache_update
+
+
+def _p_kernel(b_ref, v_ref, p_ref, *, m: int, tile: int):
+    """Accumulate p += v_tile^T @ B_tile over sequential row-tile steps."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    # VPU multiply+sum (exact f32 accumulation). The edge tile extends past
+    # the array: rows >= m are undefined and MUST be masked out of the
+    # reduction.
+    rid = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + i * tile
+    prod = jnp.where(rid < m, v_ref[:] * b_ref[:], 0.0)
+    p_ref[:] += jnp.sum(prod, axis=0, keepdims=True)
+
+
+def _update_kernel(p_ref, vfull_ref, l_ref, b_ref, a_ref, v_ref, lo_ref, bo_ref, ao_ref):
+    p = p_ref[:]  # (1, m)
+    s2 = jnp.sum(p * p)
+    s = jnp.sqrt(s2)
+    inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+    u = p * inv_s
+    c = jnp.sqrt(s2 + 1.0) - 1.0
+    d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+
+    lu = jnp.sum(l_ref[:] * u, axis=1, keepdims=True)  # (TI, 1), f32 VPU
+    bu = jnp.sum(b_ref[:] * u, axis=1, keepdims=True)
+    lo_ref[:] = l_ref[:] + (c * lu) * u
+    bo_ref[:] = b_ref[:] + (d * bu) * u
+    # A_i += v_i v^T  (v_ref: (TI, 1) row chunk; vfull_ref: (1, m))
+    ao_ref[:] = a_ref[:] + v_ref[:] * vfull_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pallas_rank1_update(L, B, A, v, tile: int = 128):
+    """Fused rank-1 update of (L, B, A) with vector v.
+
+    Args:
+      L, B, A: (m, m) float32; v: (m, 1) float32.
+
+    Returns (L', B', A').
+    """
+    m = L.shape[-1]
+    grid = (pl.cdiv(m, tile),)
+
+    p = pl.pallas_call(
+        functools.partial(_p_kernel, m=m, tile=tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+    )(B, v)
+
+    outs = pl.pallas_call(
+        _update_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # p
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # v^T
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # L
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # B
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # A
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # v rows
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ],
+    )(p, v.T, L, B, A, v)
+    return outs
+
+
+def pallas_root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
+    """Drop-in for :func:`root_cache_update` on the (B=1, q=1) hot path;
+    falls back to the XLA path for other shapes or non-TPU backends."""
+    if (
+        jax.default_backend() != "tpu"
+        or v.ndim != 3
+        or v.shape[0] != 1
+        or v.shape[-1] != 1
+    ):
+        return root_cache_update(cache, v)
+    L, B, A = cache.root[0], cache.inv_root[0], cache.mat[0]
+    Lp, Bp, Ap = pallas_rank1_update(L, B, A, v[0])
+    return RootCache(mat=Ap[None], root=Lp[None], inv_root=Bp[None])
