@@ -59,6 +59,7 @@ class OnlineSKIRegression:
         kernel: str | Kernel = "rbf",
         cfg: SolverConfig = DEFAULT_CONFIG,
         seed: int = 0,
+        refresh_roots_every: int = 0,
         **unused,
     ):
         init_x = jnp.asarray(init_x)
@@ -98,6 +99,8 @@ class OnlineSKIRegression:
         self.stem_opt_state = self.stem_opt.init(self.stem_params)
         self.buffer = ReplayBuffer(np.asarray(init_x))
         self._train_data = (np.asarray(init_x), np.asarray(init_y))
+        self.refresh_roots_every = refresh_roots_every
+        self._updates_since_refresh = 0
         self._jit_cache: Dict = {}
 
     # -- jitted building blocks -------------------------------------------
@@ -190,6 +193,8 @@ class OnlineSKIRegression:
     def update(self, inputs, targets, update_stem: bool = True, update_gp: bool = True):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
         targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        if inputs.shape[0] == 0:
+            raise ValueError("update() called with an empty batch")
         fn = self._update_fn(inputs.shape[0])
         (
             self.params,
@@ -210,6 +215,12 @@ class OnlineSKIRegression:
             targets,
         )
         self.buffer.append(np.asarray(inputs))
+        self._updates_since_refresh += 1
+        if self.refresh_roots_every and self._updates_since_refresh >= self.refresh_roots_every:
+            from online_gp_tpu.models.wiski import wiski_refresh_roots
+
+            self.state = wiski_refresh_roots(self.state)
+            self._updates_since_refresh = 0
         if update_stem and self.stem.has_params:
             # refresh BatchNorm running stats on new + replayed inputs
             replay = jnp.asarray(self.buffer.sample(1024))

@@ -4,6 +4,7 @@ from online_gp_tpu.bayesopt.acquisitions import (
     q_upper_confidence_bound,
     q_noisy_expected_improvement,
     q_knowledge_gradient,
+    q_max_value_entropy,
     q_negative_integrated_posterior_variance,
 )
 from online_gp_tpu.bayesopt.optimize import optimize_acqf
@@ -15,6 +16,7 @@ __all__ = [
     "q_upper_confidence_bound",
     "q_noisy_expected_improvement",
     "q_knowledge_gradient",
+    "q_max_value_entropy",
     "q_negative_integrated_posterior_variance",
     "optimize_acqf",
 ]

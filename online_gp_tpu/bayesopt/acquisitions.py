@@ -94,6 +94,57 @@ def q_knowledge_gradient(
     return jnp.mean(vals) - current_best
 
 
+def q_max_value_entropy(
+    model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
+    candidate_set: jnp.ndarray, key, num_max_samples: int = 16,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """qMVES via the Gumbel max-value approximation (Wang & Jegelka 2017;
+    the reference uses botorch's ``qMaxValueEntropy``,
+    ``experiments/bayesopt/utils.py:96-101``).
+
+    Max-values y* are sampled from a Gumbel fit to the distribution of
+    max_i f(s_i) over the candidate set; the information gain at x is the
+    truncated-normal entropy-difference formula
+      a(x) = E_{y*}[ gamma phi(gamma) / (2 Phi(gamma)) - log Phi(gamma) ],
+      gamma = (y* - mu(x)) / sigma(x).
+    """
+    mean_c, var_c = wiski_predict(model, params, state, candidate_set, cfg)
+    mu, sd = mean_c[0], jnp.sqrt(jnp.maximum(var_c[0], 1e-12))
+
+    # Gumbel fit: match P(max <= y) ~= prod Phi((y-mu)/sd) at 0.25/0.5/0.75
+    def cdf_max(y):
+        return jnp.sum(jax.scipy.stats.norm.logcdf((y - mu) / sd))
+
+    lo = jnp.min(mu - 5 * sd)
+    hi = jnp.max(mu + 5 * sd)
+
+    def quantile(p):
+        def body(_, ab):
+            a, b = ab
+            mid = 0.5 * (a + b)
+            below = cdf_max(mid) < jnp.log(p)
+            return jnp.where(below, mid, a), jnp.where(below, b, mid)
+
+        a, b = jax.lax.fori_loop(0, 30, body, (lo, hi))
+        return 0.5 * (a + b)
+
+    y25, y50, y75 = quantile(0.25), quantile(0.5), quantile(0.75)
+    # Gumbel(loc, scale) from the quartiles
+    b = jnp.maximum((y75 - y25) / (jnp.log(jnp.log(4.0)) - jnp.log(jnp.log(4.0 / 3.0))), 1e-6)
+    a = y50 + b * jnp.log(jnp.log(2.0))
+    u = jax.random.uniform(key, (num_max_samples,), minval=1e-4, maxval=1 - 1e-4)
+    y_star = a - b * jnp.log(-jnp.log(u))  # (S,)
+
+    mean_x, var_x = wiski_predict(model, params, state, x, cfg)
+    mu_x, sd_x = mean_x[0], jnp.sqrt(jnp.maximum(var_x[0], 1e-12))
+    gamma = (y_star[:, None] - mu_x[None, :]) / sd_x[None, :]
+    log_cdf = jax.scipy.stats.norm.logcdf(gamma)
+    pdf = jnp.exp(jax.scipy.stats.norm.logpdf(gamma))
+    gain = gamma * pdf / (2.0 * jnp.exp(log_cdf)) - log_cdf  # (S, q)
+    return jnp.sum(jnp.mean(gain, axis=0))
+
+
 def q_negative_integrated_posterior_variance(
     model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
     mc_points: jnp.ndarray, cfg: SolverConfig = DEFAULT_CONFIG,

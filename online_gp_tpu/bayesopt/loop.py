@@ -111,8 +111,12 @@ def run_bayesopt(
             key, k_disc = jax.random.split(key)
             disc = jax.random.uniform(k_disc, (256, dim), minval=-1.0, maxval=1.0)
             fn_acq = lambda X: acq.q_knowledge_gradient(model, params, state, X, disc, best_f, k_acq, 8, cfg)
+        elif acqf == "mves":
+            key, k_disc = jax.random.split(key)
+            cand = jax.random.uniform(k_disc, (512, dim), minval=-1.0, maxval=1.0)
+            fn_acq = lambda X: acq.q_max_value_entropy(model, params, state, X, cand, k_acq, 16, cfg)
         else:
-            raise ValueError(f"unknown acquisition {acqf!r} (ucb/ei/nei/kg)")
+            raise ValueError(f"unknown acquisition {acqf!r} (ucb/ei/nei/kg/mves)")
 
         t0 = time.time()
         cand_u, acq_val = optimize_acqf(fn_acq, unit_bounds, q=batch_size, num_restarts=8,

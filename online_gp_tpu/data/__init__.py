@@ -3,6 +3,7 @@ from online_gp_tpu.data.synthetic import sin_cos_dataset, streaming_friedman
 from online_gp_tpu.data.banana import banana_dataset
 from online_gp_tpu.data.uci import load_uci, UCI_DATASETS
 from online_gp_tpu.data.malaria import malaria_dataset
+from online_gp_tpu.data.classification_extra import svmguide1_dataset, criteo_dataset
 
 __all__ = [
     "minmax_scale",
@@ -15,4 +16,6 @@ __all__ = [
     "load_uci",
     "UCI_DATASETS",
     "malaria_dataset",
+    "svmguide1_dataset",
+    "criteo_dataset",
 ]

@@ -21,7 +21,13 @@ from online_gp_tpu.api import (
     OnlineLocalGPRegression,
     make_stem,
 )
-from online_gp_tpu.data import load_uci, banana_dataset, streaming_friedman
+from online_gp_tpu.data import (
+    load_uci,
+    banana_dataset,
+    streaming_friedman,
+    svmguide1_dataset,
+    criteo_dataset,
+)
 
 _REGRESSION_MODELS = {
     "wiski_gp_regression": OnlineSKIRegression,
@@ -72,6 +78,16 @@ def load_dataset(cfg: Dict):
     if d["type"] == "classification":
         if d["name"] == "banana":
             return banana_dataset(seed=cfg["seed"])
+        if d["name"] == "svmguide1":
+            tr_x, tr_y, te_x, te_y, synth = svmguide1_dataset(cfg.get("data_dir"), cfg["seed"])
+            if synth:
+                print("[data] no local svmguide1 files; using the flagged synthetic surrogate")
+            return tr_x, tr_y, te_x, te_y
+        if d["name"] == "criteo":
+            tr_x, tr_y, te_x, te_y, synth = criteo_dataset(cfg.get("data_dir"), cfg["seed"])
+            if synth:
+                print("[data] no local criteo files; using the flagged synthetic surrogate")
+            return tr_x, tr_y, te_x, te_y
         raise ValueError(f"unknown classification dataset {d['name']}")
     if d["name"] == "friedman":
         return streaming_friedman(seed=cfg["seed"], num_dims=d["input_dim"])

@@ -50,6 +50,8 @@ DATASET_PRESETS: Dict[str, Dict[str, Any]] = {
     "friedman": dict(name="friedman", type="regression", input_dim=5, baseline_rmse=None, base_lr=5e-2),
     # classification
     "banana": dict(name="banana", type="classification", input_dim=2, base_lr=5e-2, num_classes=2),
+    "svmguide1": dict(name="svmguide1", type="classification", input_dim=4, base_lr=5e-2, num_classes=2),
+    "criteo": dict(name="criteo", type="classification", input_dim=13, base_lr=5e-2, num_classes=2),
 }
 
 STEM_PRESETS: Dict[str, Dict[str, Any]] = {

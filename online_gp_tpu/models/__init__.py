@@ -9,6 +9,8 @@ from online_gp_tpu.models.wiski import (
     wiski_predict,
     wiski_prediction_caches,
     wiski_fantasize,
+    wiski_refresh_roots,
+    wiski_check_decomposition,
 )
 from online_gp_tpu.models.partial_mll import sm_partial_mll
 from online_gp_tpu.models.exact import (
@@ -26,6 +28,8 @@ __all__ = [
     "wiski_predict",
     "wiski_prediction_caches",
     "wiski_fantasize",
+    "wiski_refresh_roots",
+    "wiski_check_decomposition",
     "sm_partial_mll",
     "exact_mll",
     "exact_posterior",

@@ -190,6 +190,32 @@ def wiski_condition(
     )
 
 
+def wiski_refresh_roots(state: WiskiState, jitter: float = 1e-4) -> WiskiState:
+    """Recompute the maintained roots from the exact Gram accumulator.
+
+    The reference's ``check_decomposition`` flag (``online_gp/settings.py``)
+    hints at verifying/refreshing the incremental decomposition; on TPU
+    (f32) a periodic refresh bounds root drift over very long streams.
+    """
+    return state._replace(roots=root_cache_init(state.roots.mat, jitter=jitter))
+
+
+def wiski_check_decomposition(state: WiskiState) -> Dict[str, jnp.ndarray]:
+    """Decomposition health: ||LL' - A||_inf / ||A||_inf and ||L B' - I||_inf
+    per output batch (diagnostic for the check_decomposition flag)."""
+    L, B, A = state.roots.root, state.roots.inv_root, state.roots.mat
+    with jax.default_matmul_precision("float32"):
+        recon = jnp.einsum("bij,bkj->bik", L, L)
+        ident = jnp.einsum("bij,bkj->bik", L, B)
+    m = L.shape[-1]
+    eye = jnp.eye(m, dtype=L.dtype)
+    recon_err = jnp.max(jnp.abs(recon - A), axis=(-2, -1)) / jnp.maximum(
+        jnp.max(jnp.abs(A), axis=(-2, -1)), 1e-12
+    )
+    inv_err = jnp.max(jnp.abs(ident - eye), axis=(-2, -1))
+    return {"root_recon_rel_err": recon_err, "inverse_root_err": inv_err}
+
+
 # ---------------------------------------------------------------------------
 # Woodbury MLL
 # ---------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Checkpoint roundtrip + BayesOpt adapter + maintenance utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_gp_tpu.api import OnlineSKIRegression, IdentityStem
+from online_gp_tpu.data import sin_cos_dataset
+from online_gp_tpu.utils.checkpoint import save_wrapper, load_wrapper, save_pytree, load_pytree
+from online_gp_tpu.models import wiski_check_decomposition, wiski_refresh_roots
+from online_gp_tpu.models.wiski_bayesopt import WiskiBayesOptModel
+
+
+def _fitted(tmpdir=None):
+    tx, ty, ex, ey = sin_cos_dataset(n=300)
+    r = OnlineSKIRegression(IdentityStem(2), tx[:50], ty[:50], lr=0.05, grid_size=12, grid_bound=1.0)
+    r.fit(tx[:200], ty[:200], num_epochs=15)
+    return r, (tx, ty, ex, ey)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    r, (tx, ty, ex, ey) = _fitted()
+    rmse0, _ = r.evaluate(ex, ey)
+    path = str(tmp_path / "ck")
+    save_wrapper(path, r)
+    r2 = OnlineSKIRegression(IdentityStem(2), tx[:50], ty[:50], lr=0.05, grid_size=12, grid_bound=1.0)
+    load_wrapper(path, r2)
+    rmse1, _ = r2.evaluate(ex, ey)
+    assert abs(rmse0 - rmse1) < 1e-7
+
+
+def test_pytree_checkpoint_mismatch_raises(tmp_path):
+    path = str(tmp_path / "t")
+    save_pytree(path, {"a": jnp.ones(3)})
+    try:
+        load_pytree(path, {"a": jnp.ones(3), "b": jnp.ones(2)})
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_adapter_posterior_fantasize_condition():
+    r, (tx, ty, ex, ey) = _fitted()
+    adapter = WiskiBayesOptModel(r.model, r.params, r.state)
+    post = adapter.posterior(jnp.asarray(ex[:6]), joint=True)
+    s = post.sample(jax.random.PRNGKey(0), 9)
+    assert s.shape == (9, 2, 6)
+    var_from_root = jnp.sum(post.cov_root**2, axis=-1)
+    np.testing.assert_allclose(np.asarray(var_from_root), np.asarray(post.variance), rtol=1e-4, atol=1e-6)
+
+    fant = adapter.fantasize(jnp.asarray(ex[:2]), jax.random.PRNGKey(1), num_fantasies=4)
+    fpost = fant.posterior(jnp.asarray(ex[:5]))
+    assert fpost.mean.shape == (4 * 2, 5)
+    assert bool(jnp.isfinite(fpost.mean).all())
+
+    cond = adapter.condition_on_observations(jnp.asarray(ex[:3]), jnp.asarray(ey[:3]))
+    assert int(cond.state.num_data) == int(r.state.num_data) + 3
+    assert bool(jnp.isfinite(cond.mll()).all())
+
+
+def test_check_decomposition_and_refresh():
+    r, (tx, ty, ex, ey) = _fitted()
+    for i in range(200, min(240, len(tx))):
+        r.update(tx[i : i + 1], ty[i : i + 1])
+    diag = wiski_check_decomposition(r.state)
+    assert float(diag["root_recon_rel_err"].max()) < 1e-3
+    assert float(diag["inverse_root_err"].max()) < 1e-2
+    refreshed = wiski_refresh_roots(r.state)
+    diag2 = wiski_check_decomposition(refreshed)
+    assert float(diag2["root_recon_rel_err"].max()) <= float(diag["root_recon_rel_err"].max()) + 1e-6
