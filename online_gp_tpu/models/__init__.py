@@ -13,6 +13,15 @@ from online_gp_tpu.models.wiski import (
     wiski_check_decomposition,
 )
 from online_gp_tpu.models.partial_mll import sm_partial_mll
+from online_gp_tpu.models.wiski_lowrank import (
+    WiskiLowRankModel,
+    WiskiLowRankState,
+    wiski_lowrank_init,
+    wiski_lowrank_condition,
+    wiski_lowrank_mll,
+    wiski_lowrank_predict,
+)
+from online_gp_tpu.models.wiski_bayesopt import WiskiBayesOptModel, WiskiPosterior
 from online_gp_tpu.models.exact import (
     exact_mll,
     exact_posterior,
@@ -31,6 +40,14 @@ __all__ = [
     "wiski_refresh_roots",
     "wiski_check_decomposition",
     "sm_partial_mll",
+    "WiskiLowRankModel",
+    "WiskiLowRankState",
+    "wiski_lowrank_init",
+    "wiski_lowrank_condition",
+    "wiski_lowrank_mll",
+    "wiski_lowrank_predict",
+    "WiskiBayesOptModel",
+    "WiskiPosterior",
     "exact_mll",
     "exact_posterior",
     "ski_kernel_matrix",

@@ -1,0 +1,271 @@
+"""Large-grid WISKI: rank-capped roots + structured K_uu MVMs.
+
+The dense WISKI core (``models/wiski.py``) stores m×m roots — O(m²) state,
+O(m³) init — which caps the inducing grid around m ≲ 2-4k. The reference's
+large-grid regime is gpytorch's Lanczos root decomposition capped at
+``max_root_decomposition_size`` (512) plus Toeplitz grid kernels under
+``use_toeplitz`` (reference ``config/regression.yaml:24-27``,
+``experiments/bayesopt/bayesopt.py:280-291``): roots become m×k with
+k ≪ m, updates stay within the tracked column space, and every solve is
+k×k. This module is that regime, TPU-first:
+
+  state:  root L (B, m, k), inv_gram G = (L^T L)^{-1} (B, k, k),
+          wty, ydy, d_logdet as in the dense core.
+  update: project v onto span(L) via the maintained inverse Gram —
+          p = G L^T v — and apply the same thin-SVD eigen-update
+          L <- L (I + U diag(c) U^T) (exact within the column space,
+          matching the reference's rank-capped ``collect_vector``).
+  mll:    Q = I_k + L^T K_uu L via k structured MVMs (Kronecker or
+          Toeplitz-FFT factors — never a dense K_uu), then a k×k Cholesky:
+
+    quad   = y'D^{-1}y - wty' K wty + proj' Q^{-1} proj,
+    logdet = log|Q| + log|D|,   proj = L^T K wty
+
+  predict: mean cache = K wty - (K L) Q^{-1} L' K wty  (m-vector),
+           variance via the LOVE-style rank-k root R = (K L) Lq^{-T} and
+           per-point Toeplitz diagonals.
+
+Init takes a rank-k Lanczos of A = W D^{-1} W^T (never materialized:
+A v = W (D^{-1} (W^T v)) through the interpolation gathers).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.kernels.base import Kernel
+from online_gp_tpu.kernels.grid_kernel import grid_kuu_mvm
+from online_gp_tpu.kernels.priors import log_prior_sum
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.ops.interp import interp_coeffs, dense_w, interp_matvec
+from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
+from online_gp_tpu.ops.cg import lanczos_root
+
+LOG_2PI = 1.8378770664093453
+
+
+class WiskiLowRankModel(NamedTuple):
+    kernel: Kernel
+    grid: Grid
+    rank: int = 512  # the reference's max_root_decomposition_size
+    learn_additional_noise: bool = False
+    use_toeplitz: bool = True
+    priors: Optional[tuple] = None
+
+    def init_params(self, num_dims: int, dtype=jnp.float32, **kw) -> Dict:
+        params = {"kernel": self.kernel.init_params(num_dims, (), dtype=dtype, **kw)}
+        if self.learn_additional_noise:
+            params["raw_second_noise"] = jnp.zeros((), dtype)
+        return params
+
+
+class WiskiLowRankState(NamedTuple):
+    wty: jnp.ndarray  # (m, 1)
+    ydy: jnp.ndarray  # ()
+    root: jnp.ndarray  # (m, k)
+    inv_gram: jnp.ndarray  # (k, k) = (L^T L)^{-1}
+    d_logdet: jnp.ndarray  # ()
+    num_data: jnp.ndarray  # () int32
+
+
+def _kuu_mvm(model: WiskiLowRankModel, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(m, k) -> (m, k) structured K_uu product (never dense)."""
+    kuu = grid_kuu_mvm(model.kernel, params["kernel"], model.grid, x, model.use_toeplitz)
+    s2 = params.get("raw_second_noise")
+    if s2 is not None:
+        kuu = kuu / jnp.exp(s2)
+    return kuu
+
+
+def wiski_lowrank_init(
+    model: WiskiLowRankModel,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+    key=None,
+    chunk: int = 4096,
+) -> WiskiLowRankState:
+    """Build caches with a rank-k Lanczos root of A = W D^{-1} W^T."""
+    m = model.grid.num_points
+    y = y.reshape(-1, 1)
+    noise = noise.reshape(-1, 1)
+    n = x.shape[0]
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    idx, w = interp_coeffs(model.grid, x)
+
+    def a_mvm(vec: jnp.ndarray) -> jnp.ndarray:
+        """A v without materializing A: gather + scale + scatter."""
+        wv = jnp.einsum("np,np->n", w, vec[idx])  # (W^T v)_n
+        contrib = (w * (wv / noise[:, 0])[:, None]).reshape(-1)
+        return jnp.zeros((m,), vec.dtype).at[idx.reshape(-1)].add(contrib)
+
+    with jax.default_matmul_precision("float32"):
+        wty = jnp.zeros((m, 1), x.dtype)
+        ydy = jnp.zeros((), x.dtype)
+        for start in range(0, n, chunk):
+            i_c, w_c = idx[start : start + chunk], w[start : start + chunk]
+            y_c, n_c = y[start : start + chunk], noise[start : start + chunk]
+            dinv_y = y_c / n_c
+            contrib = (w_c * dinv_y).reshape(-1)
+            wty = wty.at[i_c.reshape(-1), 0].add(contrib)
+            ydy = ydy + jnp.sum(y_c * dinv_y)
+
+        v0 = jax.random.normal(key, (m,), x.dtype)
+        L = lanczos_root(a_mvm, v0, model.rank)  # (m, k)
+        gram = L.T @ L + 1e-6 * jnp.eye(model.rank, dtype=x.dtype)
+        inv_gram = cho_solve(psd_safe_cholesky(gram, jitter=1e-6), jnp.eye(model.rank, dtype=x.dtype))
+
+    return WiskiLowRankState(
+        wty=wty,
+        ydy=ydy,
+        root=L,
+        inv_gram=inv_gram,
+        d_logdet=jnp.sum(jnp.log(noise)),
+        num_data=jnp.asarray(n, jnp.int32),
+    )
+
+
+def wiski_lowrank_condition(
+    model: WiskiLowRankModel,
+    state: WiskiLowRankState,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> WiskiLowRankState:
+    """O(m k q) rank-capped conditioning.
+
+    The update direction is v's projection onto span(L) (the reference's
+    rank-capped update confines growth to the tracked column space,
+    ``updated_root_lazy_tensor.py:99-108``): with z = G L^T v (k, q) and
+    thin SVD (L z) = ... the root eigen-update is applied in coefficient
+    space, and the inverse Gram is updated by the matching inverse factor.
+    """
+    y = y.reshape(-1, 1)
+    noise = noise.reshape(-1, 1)
+    q = x.shape[0]
+    m = model.grid.num_points
+    k = model.rank
+
+    idx, w = interp_coeffs(model.grid, x, detach=True)
+    w_cols = dense_w(idx, w, m)  # (m, q)
+    v = w_cols / jnp.sqrt(jnp.maximum(noise[:, 0], 1e-7))[None, :]
+
+    with jax.default_matmul_precision("float32"):
+        L, G = state.root, state.inv_gram
+        # coefficient-space representation of the projected update:
+        # v_par = L z with z = G L^T v; then A+v_par v_par^T = L(I+zz^T)L^T
+        z = G @ (L.T @ v)  # (k, q)
+        # A + (Lz)(Lz)^T = L (I + z z^T) L^T, and with the Euclidean thin
+        # SVD z = U diag(s) V^T:  I + z z^T = (I + U diag(c) U^T)^2,
+        # c = sqrt(s^2+1) - 1 — exact within the tracked column space.
+        gram_q = z.T @ z
+        s2_eig, V = jnp.linalg.eigh(gram_q)
+        s2_eig = jnp.maximum(s2_eig, 0.0)
+        s = jnp.sqrt(s2_eig)
+        safe_s = jnp.maximum(s, 1e-20)
+        U = (z @ V) / safe_s[None, :]  # (k, q) orthonormal columns
+        c = jnp.sqrt(s2_eig + 1.0) - 1.0
+        valid = (s > 0).astype(v.dtype)
+        c = c * valid
+        # L <- L (I + U diag(c) U^T): right-multiply keeps (m, k)
+        M = jnp.eye(k, dtype=v.dtype) + (U * c[None, :]) @ U.T
+        new_root = L @ M
+        # (L M)^T (L M) = M^T (L^T L) M; update inverse Gram via M^{-1}:
+        # M^{-1} = I + U diag(1/(1+c) - 1) U^T
+        d = 1.0 / (1.0 + c) - 1.0
+        Minv = jnp.eye(k, dtype=v.dtype) + (U * d[None, :]) @ U.T
+        new_inv_gram = Minv @ G @ Minv.T
+
+        dinv_y = y / noise
+        new_wty = state.wty.at[idx.reshape(-1), 0].add((w * dinv_y).reshape(-1))
+
+    return WiskiLowRankState(
+        wty=new_wty,
+        ydy=state.ydy + jnp.sum(y * dinv_y),
+        root=new_root,
+        inv_gram=new_inv_gram,
+        d_logdet=state.d_logdet + jnp.sum(jnp.log(noise)),
+        num_data=state.num_data + q,
+    )
+
+
+def _q_pieces(model, params, state):
+    L = state.root  # (m, k)
+    k = L.shape[-1]
+    with jax.default_matmul_precision("float32"):
+        KuuL = _kuu_mvm(model, params, L)  # (m, k) structured MVMs
+        Q = jnp.eye(k, dtype=L.dtype) + L.T @ KuuL
+        Q = 0.5 * (Q + Q.T)
+        Lq = psd_safe_cholesky(Q, jitter=1e-6)
+        Kuu_wty = _kuu_mvm(model, params, state.wty)  # (m, 1)
+        proj = L.T @ Kuu_wty  # (k, 1)
+    return KuuL, Lq, Kuu_wty, proj
+
+
+def wiski_lowrank_mll(
+    model: WiskiLowRankModel,
+    params: Dict,
+    state: WiskiLowRankState,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """Woodbury MLL with k×k solves and structured K_uu MVMs."""
+    _, Lq, Kuu_wty, proj = _q_pieces(model, params, state)
+    with jax.default_matmul_precision("float32"):
+        sol = cho_solve(Lq, proj)
+        inner_qform = jnp.sum(proj * sol)
+        inner_logdet = chol_logdet(Lq)
+        if cfg.skip_logdet_forward:
+            inner_logdet = inner_logdet - jax.lax.stop_gradient(inner_logdet)
+        inducing_qform = jnp.sum(state.wty * Kuu_wty)
+        quad = state.ydy - inducing_qform + inner_qform
+        logdet = inner_logdet + state.d_logdet
+        n = state.num_data.astype(quad.dtype)
+        final = n * LOG_2PI
+        s2 = params.get("raw_second_noise")
+        if s2 is not None:
+            quad = quad / jnp.exp(s2)
+            final = final + n * s2
+        res = -0.5 * (quad + logdet + final)
+        if model.priors:
+            res = res + log_prior_sum(dict(model.priors), params["kernel"])
+        return res / n
+
+
+def wiski_lowrank_predict(
+    model: WiskiLowRankModel,
+    params: Dict,
+    state: WiskiLowRankState,
+    x: jnp.ndarray,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Posterior mean/variance with O(m k) caches.
+
+    mean cache: K wty - (K L) Q^{-1} proj            (m, 1)
+    LOVE root:  R = (K L) Lq^{-T}                    (m, k)
+    var(x)   =  k(x,x) / s2? ... = w_x' K w_x - |R' w_x|^2  (prior diag via
+               the stationary kernel; cross term through one more MVM).
+    """
+    KuuL, Lq, Kuu_wty, proj = _q_pieces(model, params, state)
+    with jax.default_matmul_precision("float32"):
+        mean_cache = Kuu_wty - KuuL @ cho_solve(Lq, proj)  # (m, 1)
+        R = tri_solve(Lq, KuuL.T).T  # (m, k): KuuL Lq^{-T}
+
+        idx, w = interp_coeffs(model.grid, x, detach=cfg.detach_interp_coeff)
+        mean = interp_matvec(idx, w, mean_cache)[:, 0]  # (n,)
+        if cfg.skip_posterior_variances:
+            return mean, None
+        # prior term w_x' K_uu w_x: one structured MVM per query batch
+        Wx = dense_w(idx, w, model.grid.num_points)  # (m, n)
+        KWx = _kuu_mvm(model, params, Wx)  # (m, n)
+        prior_diag = jnp.sum(Wx * KWx, axis=0)  # (n,)
+        Rw = interp_matvec(idx, w, R)  # (n, k)
+        var = prior_diag - jnp.sum(Rw * Rw, axis=-1)
+        s2 = params.get("raw_second_noise")
+        if s2 is not None:
+            var = var * jnp.exp(s2)
+        return mean, jnp.maximum(var, 1e-12)

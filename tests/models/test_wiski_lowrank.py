@@ -1,0 +1,108 @@
+"""Rank-capped large-grid WISKI tests: full-rank parity vs the dense core,
+rank-capped accuracy, and a large-grid (m=4096) smoke that the dense path
+could not touch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_gp_tpu.config import SolverConfig
+from online_gp_tpu.kernels.base import RBFKernel
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.models.wiski import WiskiModel, wiski_init, wiski_mll, wiski_predict, wiski_condition
+from online_gp_tpu.models.wiski_lowrank import (
+    WiskiLowRankModel,
+    wiski_lowrank_init,
+    wiski_lowrank_condition,
+    wiski_lowrank_mll,
+    wiski_lowrank_predict,
+)
+
+CFG = SolverConfig()
+
+
+def _data(n=120, seed=0):
+    kx, ky = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.uniform(kx, (n, 1), minval=-1.0, maxval=1.0)
+    y = jnp.sin(4 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,))
+    return x, y[:, None]
+
+
+def test_full_rank_matches_dense():
+    x, y = _data()
+    noise = jnp.full_like(y, 0.1)
+    grid = Grid.create([(-1.1, 1.1)], 32)
+    m = grid.num_points
+    dense = WiskiModel(RBFKernel(), grid, num_outputs=1)
+    lowrank = WiskiLowRankModel(RBFKernel(), grid, rank=m, use_toeplitz=False)
+    dp = dense.init_params(1, lengthscale=0.4)
+    lp = lowrank.init_params(1, lengthscale=0.4)
+
+    ds = wiski_init(dense, x, y, noise, root_jitter=1e-6)
+    ls = wiski_lowrank_init(lowrank, x, y, noise)
+    mll_d = float(wiski_mll(dense, dp, ds, CFG)[0])
+    mll_l = float(wiski_lowrank_mll(lowrank, lp, ls, CFG))
+    np.testing.assert_allclose(mll_l, mll_d, rtol=2e-3)
+
+    xt = jnp.linspace(-0.9, 0.9, 25)[:, None]
+    md, vd = wiski_predict(dense, dp, ds, xt, CFG)
+    ml, vl = wiski_lowrank_predict(lowrank, lp, ls, xt, CFG)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(md[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(vl), np.asarray(vd[0]), atol=2e-2)
+
+
+def test_rank_capped_still_accurate():
+    x, y = _data(n=200)
+    noise = jnp.full_like(y, 0.1)
+    grid = Grid.create([(-1.1, 1.1)], 64)
+    lowrank = WiskiLowRankModel(RBFKernel(), grid, rank=48, use_toeplitz=True)
+    lp = lowrank.init_params(1, lengthscale=0.4)
+    ls = wiski_lowrank_init(lowrank, x, y, noise)
+    xt = jnp.linspace(-0.9, 0.9, 40)[:, None]
+    mean, var = wiski_lowrank_predict(lowrank, lp, ls, xt, CFG)
+    rmse = float(jnp.sqrt(jnp.mean((mean - jnp.sin(4 * xt[:, 0])) ** 2)))
+    assert rmse < 0.12
+    assert bool((var > 0).all())
+
+
+def test_condition_tracks_dense():
+    x, y = _data(n=80)
+    noise = jnp.full_like(y, 0.1)
+    grid = Grid.create([(-1.1, 1.1)], 24)
+    m = grid.num_points
+    lowrank = WiskiLowRankModel(RBFKernel(), grid, rank=m, use_toeplitz=False)
+    lp = lowrank.init_params(1, lengthscale=0.4)
+    ls = wiski_lowrank_init(lowrank, x[:50], y[:50], noise[:50])
+    for t in range(50, 80):
+        ls = wiski_lowrank_condition(lowrank, ls, x[t : t + 1], y[t : t + 1], noise[t : t + 1])
+    assert int(ls.num_data) == 80
+
+    dense = WiskiModel(RBFKernel(), grid, num_outputs=1)
+    dp = dense.init_params(1, lengthscale=0.4)
+    ds = wiski_init(dense, x, y, noise, root_jitter=1e-6)
+    mll_l = float(wiski_lowrank_mll(lowrank, lp, ls, CFG))
+    mll_d = float(wiski_mll(dense, dp, ds, CFG)[0])
+    # per-datum MLLs are near zero here; compare on an absolute scale
+    np.testing.assert_allclose(mll_l, mll_d, atol=2e-3)
+
+
+def test_large_grid_smoke():
+    # m = 4096 — the dense path would need a 4096^2 root init per epoch;
+    # here init is rank-64 Lanczos + structured Toeplitz MVMs.
+    x, y = _data(n=500, seed=3)
+    noise = jnp.full_like(y, 0.1)
+    grid = Grid.create([(-1.1, 1.1)], 4096)
+    # rank must cover A's effective rank (~n occupied stencils); the
+    # reference's max_root_decomposition_size default of 512 does the same
+    lowrank = WiskiLowRankModel(RBFKernel(), grid, rank=512, use_toeplitz=True)
+    lp = lowrank.init_params(1, lengthscale=0.3)
+    ls = wiski_lowrank_init(lowrank, x, y, noise)
+    mll = float(wiski_lowrank_mll(lowrank, lp, ls, CFG))
+    assert np.isfinite(mll)
+    xt = jnp.linspace(-0.9, 0.9, 50)[:, None]
+    mean, var = wiski_lowrank_predict(lowrank, lp, ls, xt, CFG)
+    rmse = float(jnp.sqrt(jnp.mean((mean - jnp.sin(4 * xt[:, 0])) ** 2)))
+    assert rmse < 0.15
+    g = jax.grad(lambda p: -wiski_lowrank_mll(lowrank, p, ls, CFG))(lp)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
