@@ -100,5 +100,10 @@ def _load_npy(path: str):
 
 
 def _load_csv(path: str):
-    arr = np.loadtxt(path, delimiter=",", skiprows=1)
+    try:
+        from online_gp_tpu.native import fast_csv_read
+
+        arr = fast_csv_read(path, skip_header=1)
+    except Exception:
+        arr = np.loadtxt(path, delimiter=",", skiprows=1)
     return arr[:, :-1], arr[:, -1:]
