@@ -14,6 +14,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -44,9 +45,19 @@ def optimize_acqf(
     def to_x(t):  # unconstrained -> box
         return lo + (hi - lo) * jax.nn.sigmoid(t)
 
-    # initialization heuristic: score raw samples, take the best as starts
+    # initialization heuristic: score raw samples, take the best as starts.
+    # Low-discrepancy Sobol initialization when scipy is present (the
+    # reference's SobolQMCNormalSampler habit), IID uniform otherwise.
     k1, k2 = jax.random.split(key)
-    raw = jax.random.uniform(k1, (raw_samples, q, d), minval=0.02, maxval=0.98)
+    try:
+        from scipy.stats import qmc
+
+        sob = qmc.Sobol(q * d, scramble=True, seed=int(jax.random.randint(k1, (), 0, 2**31 - 1)))
+        n_pow2 = 1 << max(int(np.ceil(np.log2(max(raw_samples, 1)))), 0)
+        raw = jnp.asarray(sob.random_base2(int(np.log2(n_pow2)))[:raw_samples], jnp.float32)
+        raw = 0.02 + 0.96 * raw.reshape(raw_samples, q, d)
+    except Exception:
+        raw = jax.random.uniform(k1, (raw_samples, q, d), minval=0.02, maxval=0.98)
     raw_x = lo + (hi - lo) * raw
     raw_vals = jax.vmap(acqf)(raw_x)
     top = jnp.argsort(-raw_vals)[:num_restarts]
@@ -56,19 +67,22 @@ def optimize_acqf(
 
     def restart_opt(t0):
         def cond(carry):
-            t, os_, it, last, cur = carry
-            return jnp.logical_and(it < maxiter, jnp.logical_or(it < 2, cur > last + 1e-9))
+            t, os_, it, last, cur, best_t, best_val = carry
+            return jnp.logical_and(it < maxiter, jnp.logical_or(it < 5, cur > last + 1e-9))
 
         def body(carry):
-            t, os_, it, last, cur = carry
+            t, os_, it, last, cur, best_t, best_val = carry
             val, g = jax.value_and_grad(lambda tt: acqf(to_x(tt)))(t)
+            better = val > best_val
+            best_t = jax.tree.map(lambda a, b: jnp.where(better, a, b), t, best_t)
+            best_val = jnp.where(better, val, best_val)
             up, os_ = opt.update(jax.tree.map(jnp.negative, g), os_)
             t = optax.apply_updates(t, up)
-            return (t, os_, it + 1, cur, val)
+            return (t, os_, it + 1, cur, val, best_t, best_val)
 
-        carry = (t0, opt.init(t0), jnp.asarray(0), -jnp.inf, -jnp.inf)
-        t, _, _, _, val = jax.lax.while_loop(cond, body, carry)
-        return to_x(t), acqf(to_x(t))
+        carry = (t0, opt.init(t0), jnp.asarray(0), -jnp.inf, -jnp.inf, t0, -jnp.inf)
+        *_, best_t, best_val = jax.lax.while_loop(cond, body, carry)
+        return to_x(best_t), best_val
 
     xs, vals = jax.vmap(restart_opt)(starts)
     best = jnp.argmax(vals)
