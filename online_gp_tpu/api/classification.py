@@ -93,8 +93,8 @@ class OnlineSKIClassifier:
 
     # -- jitted building blocks -------------------------------------------
 
-    def _update_fn(self, q: int):
-        key = ("update", q)
+    def _update_fn(self, q: int, update_stem: bool = True, update_gp: bool = True):
+        key = ("update", q, update_stem, update_gp)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, cfg, stem = self.model, self.cfg, self.stem
@@ -109,19 +109,22 @@ class OnlineSKIClassifier:
                 feats, _ = stem.apply(sp, bn_state, x, train=False)
                 return -jnp.sum(sm_partial_mll(model, params, state, feats, targets / sigma2, cfg))
 
-            if stem.has_params:
+            if stem.has_params and update_stem:
                 s_loss, s_grads = jax.value_and_grad(stem_loss)(stem_params)
                 s_up, stem_opt_state = stem_opt.update(s_grads, stem_opt_state, stem_params)
                 stem_params = optax.apply_updates(stem_params, s_up)
             else:
                 s_loss = jnp.asarray(0.0)
 
-            def gp_loss(p):
+            def gp_loss_fn(p):
                 return -jnp.sum(wiski_mll(model, p, state, cfg_skip))
 
-            g_loss, g_grads = jax.value_and_grad(gp_loss)(params)
-            g_up, gp_opt_state = gp_opt.update(g_grads, gp_opt_state, params)
-            params = optax.apply_updates(params, g_up)
+            if update_gp:
+                g_loss, g_grads = jax.value_and_grad(gp_loss_fn)(params)
+                g_up, gp_opt_state = gp_opt.update(g_grads, gp_opt_state, params)
+                params = optax.apply_updates(params, g_up)
+            else:
+                g_loss = jnp.asarray(0.0)
 
             feats, _ = stem.apply(stem_params, bn_state, x, train=False)
             feats = jax.lax.stop_gradient(feats)
@@ -164,7 +167,9 @@ class OnlineSKIClassifier:
     def update(self, inputs, labels, update_stem: bool = True, update_gp: bool = True):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
         labels = jnp.asarray(labels).astype(jnp.int32).reshape(-1)
-        fn = self._update_fn(inputs.shape[0])
+        if inputs.shape[0] == 0:
+            raise ValueError("update() called with an empty batch")
+        fn = self._update_fn(inputs.shape[0], update_stem, update_gp)
         (
             self.params,
             self.stem_params,

@@ -105,9 +105,9 @@ class OnlineSKIRegression:
 
     # -- jitted building blocks -------------------------------------------
 
-    def _update_fn(self, q: int):
+    def _update_fn(self, q: int, update_stem: bool = True, update_gp: bool = True):
         """One fused streaming update for a batch of q points."""
-        key = ("update", q)
+        key = ("update", q, update_stem, update_gp)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, cfg, stem = self.model, self.cfg, self.stem
@@ -120,7 +120,7 @@ class OnlineSKIRegression:
                 feats, _ = stem.apply(sp, bn_state, x, train=False)
                 return -jnp.sum(sm_partial_mll(model, params, state, feats, y, cfg))
 
-            if stem.has_params:
+            if stem.has_params and update_stem:
                 s_loss, s_grads = jax.value_and_grad(stem_loss)(stem_params)
                 s_updates, stem_opt_state = stem_opt.update(s_grads, stem_opt_state, stem_params)
                 stem_params = optax.apply_updates(stem_params, s_updates)
@@ -128,12 +128,15 @@ class OnlineSKIRegression:
                 s_loss = jnp.asarray(0.0)
 
             # 2) GP hyper step on the Woodbury MLL (skip_logdet_forward)
-            def gp_loss(p):
+            def gp_loss_fn(p):
                 return -jnp.sum(wiski_mll(model, p, state, cfg_skip))
 
-            g_loss, g_grads = jax.value_and_grad(gp_loss)(params)
-            g_updates, gp_opt_state = gp_opt.update(g_grads, gp_opt_state, params)
-            params = optax.apply_updates(params, g_updates)
+            if update_gp:
+                g_loss, g_grads = jax.value_and_grad(gp_loss_fn)(params)
+                g_updates, gp_opt_state = gp_opt.update(g_grads, gp_opt_state, params)
+                params = optax.apply_updates(params, g_updates)
+            else:
+                g_loss = jnp.asarray(0.0)
 
             # 3) condition the caches on the new observations
             feats, _ = stem.apply(stem_params, bn_state, x, train=False)
@@ -195,7 +198,7 @@ class OnlineSKIRegression:
         targets = jnp.asarray(targets).reshape(-1, self.target_dim)
         if inputs.shape[0] == 0:
             raise ValueError("update() called with an empty batch")
-        fn = self._update_fn(inputs.shape[0])
+        fn = self._update_fn(inputs.shape[0], update_stem, update_gp)
         (
             self.params,
             self.stem_params,

@@ -140,7 +140,8 @@ class OnlineSGPRegression:
             self.model, self.params, self.old, self.moments, feats, targets.reshape(-1), new_z,
             rebase=rebase,
         )
-        self._jit_cache = {}  # old-state validity is a static branch
+        # no cache clear needed: the jit key already branches on old-state
+        # existence; clearing here forced a recompile per streaming update
 
     # -- public API -----------------------------------------------------
 

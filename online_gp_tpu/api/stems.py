@@ -14,7 +14,7 @@ the ``output_scale`` knob on :class:`MLPStem`.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ and expose per-function default bounds.
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -112,3 +112,36 @@ class WiskiBayesOptModel:
 
     def mll(self) -> jnp.ndarray:
         return wiski_mll(self.model, self.params, self.state, self.cfg)
+
+
+class SVGPBayesOptModel:
+    """Posterior adapter over the SVGP core — the reference's
+    ``ApproximateGPyTorchModel`` (``variational_gp_model.py:204-226``):
+    the minimal `posterior(X, observation_noise=...)` surface acquisition
+    code needs from a variational model."""
+
+    def __init__(self, model, params, cfg: SolverConfig = DEFAULT_CONFIG):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+
+    @property
+    def num_outputs(self) -> int:
+        return 1
+
+    def posterior(self, X, observation_noise: bool = False, joint: bool = False):
+        from online_gp_tpu.models.svgp import svgp_predict
+        from online_gp_tpu.ops.chol import psd_safe_cholesky
+
+        X = jnp.asarray(X)
+        if joint:
+            mean, cov = svgp_predict(self.model, self.params, X, self.cfg, full_cov=True)
+            root = psd_safe_cholesky(cov, jitter=self.model.jitter)
+            var = jnp.diagonal(cov, axis1=-2, axis2=-1)
+            post = WiskiPosterior(mean=mean[None], variance=var[None], cov_root=root[None])
+        else:
+            mean, var = svgp_predict(self.model, self.params, X, self.cfg)
+            post = WiskiPosterior(mean=mean[None], variance=var[None], cov_root=None)
+        if observation_noise and "raw_noise" in self.params:
+            post = post._replace(variance=post.variance + jnp.exp(self.params["raw_noise"]))
+        return post

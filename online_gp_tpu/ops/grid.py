@@ -18,7 +18,7 @@ over or passed through ``jit`` without retracing on value changes.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

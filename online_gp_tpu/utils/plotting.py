@@ -6,7 +6,7 @@ from __future__ import annotations
 import csv
 import glob
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
