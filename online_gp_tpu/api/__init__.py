@@ -14,6 +14,7 @@ from online_gp_tpu.api.svgp import OnlineSVGPRegression, OnlineSVGPClassifier
 from online_gp_tpu.api.sgpr_regression import OnlineSGPRegression
 from online_gp_tpu.api.exact import OnlineExactRegression, OnlineExactClassifier
 from online_gp_tpu.api.localgp import OnlineLocalGPRegression
+from online_gp_tpu.api.lowrank_regression import OnlineSKILowRankRegression
 
 __all__ = [
     "IdentityStem",
@@ -28,4 +29,5 @@ __all__ = [
     "OnlineExactRegression",
     "OnlineExactClassifier",
     "OnlineLocalGPRegression",
+    "OnlineSKILowRankRegression",
 ]

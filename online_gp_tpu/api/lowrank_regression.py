@@ -1,0 +1,168 @@
+"""Large-grid WISKI regression wrapper (rank-capped roots).
+
+The L5 surface (`fit/update/predict/evaluate/set_lr/.noise`) over
+:mod:`online_gp_tpu.models.wiski_lowrank` — the
+``max_root_decomposition_size`` + ``use_toeplitz`` regime: grids with
+m ≫ max_cholesky_size (e.g. 1-D m=8192 or 3-D 40³) where the dense core's
+O(m²) state is infeasible. Single-output; stems follow the dense wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
+from online_gp_tpu.kernels.base import make_kernel, Kernel
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.models.wiski_lowrank import (
+    WiskiLowRankModel,
+    wiski_lowrank_init,
+    wiski_lowrank_condition,
+    wiski_lowrank_mll,
+    wiski_lowrank_predict,
+)
+from online_gp_tpu.api.stems import Stem
+from online_gp_tpu.utils.metrics import batched_rmse_nll
+
+
+class OnlineSKILowRankRegression:
+    def __init__(
+        self,
+        stem: Stem,
+        init_x,
+        init_y,
+        lr: float = 0.01,
+        grid_size: int = 4096,
+        grid_bound: float = 1.0,
+        rank: int = 512,
+        kernel: str | Kernel = "rbf",
+        use_toeplitz: bool = True,
+        cfg: SolverConfig = DEFAULT_CONFIG,
+        seed: int = 0,
+        **unused,
+    ):
+        init_x = jnp.asarray(init_x)
+        init_y = jnp.asarray(init_y)
+        assert init_y.ndim == 2 and init_y.shape[-1] == 1, "single-output wrapper"
+        self.stem = stem
+        self.cfg = cfg
+        self.lr = lr
+        self.target_dim = 1
+
+        key = jax.random.PRNGKey(seed)
+        self.stem_params, self.stem_state = stem.init(key)
+        feats, self.stem_state = stem.apply(self.stem_params, self.stem_state, init_x, train=True)
+        feats = jax.lax.stop_gradient(feats)
+
+        grid_bound = grid_bound + 1e-1
+        grid = Grid.create([(-grid_bound, grid_bound)] * stem.output_dim, grid_size)
+        if isinstance(kernel, str):
+            kernel = make_kernel(kernel)
+        self.model = WiskiLowRankModel(
+            kernel, grid, rank=rank, learn_additional_noise=True, use_toeplitz=use_toeplitz
+        )
+        self.params = self.model.init_params(stem.output_dim)
+        self.state = wiski_lowrank_init(self.model, feats, init_y, jnp.ones_like(init_y), key=key)
+
+        self.gp_opt = optax.adam(lr)
+        self.gp_opt_state = self.gp_opt.init(self.params)
+        self._jit_cache: Dict = {}
+
+    def _features(self, x):
+        feats, _ = self.stem.apply(self.stem_params, self.stem_state, x, train=False)
+        return jax.lax.stop_gradient(feats)
+
+    def _update_fn(self, q: int):
+        key = ("update", q)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, cfg = self.model, self.cfg
+        cfg_skip = cfg.replace(skip_logdet_forward=True)
+        gp_opt = self.gp_opt
+
+        def fn(params, gp_opt_state, state, feats, y):
+            loss, grads = jax.value_and_grad(
+                lambda p: -wiski_lowrank_mll(model, p, state, cfg_skip)
+            )(params)
+            up, gp_opt_state = gp_opt.update(grads, gp_opt_state, params)
+            params = optax.apply_updates(params, up)
+            noise = jnp.ones_like(y)
+            state = wiski_lowrank_condition(model, state, feats, y, noise)
+            return params, gp_opt_state, state, loss
+
+        self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def update(self, inputs, targets, update_stem: bool = True, update_gp: bool = True):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, 1)
+        feats = self._features(inputs)
+        fn = self._update_fn(inputs.shape[0])
+        self.params, self.gp_opt_state, self.state, loss = fn(
+            self.params, self.gp_opt_state, self.state, feats, targets
+        )
+        return 0.0, float(loss)
+
+    def fit(self, inputs, targets, num_epochs: int, test_dataset=None):
+        """Hyper-only fit on the (fixed) initial caches — rebuilding a
+        Lanczos root per epoch is wasteful; large-grid practice is fit
+        hypers against the standing caches, then stream."""
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, 1)
+        feats = self._features(inputs)
+        self.state = wiski_lowrank_init(self.model, feats, targets, jnp.ones_like(targets))
+        model, cfg = self.model, self.cfg
+        opt = optax.adam(self.lr)
+
+        @jax.jit
+        def epochs(params, state, opt_state):
+            def step(carry, _):
+                p, os_ = carry
+                loss, g = jax.value_and_grad(lambda q: -wiski_lowrank_mll(model, q, state, cfg))(p)
+                up, os_ = opt.update(g, os_, p)
+                return (optax.apply_updates(p, up), os_), loss
+
+            (p, os_), losses = jax.lax.scan(step, (params, opt_state), None, length=num_epochs)
+            return p, losses
+
+        self.params, losses = epochs(self.params, self.state, opt.init(self.params))
+        records = [{"epoch": i + 1, "train_loss": float(l)} for i, l in enumerate(losses)]
+        if test_dataset is not None:
+            rmse, nll = self.evaluate(*test_dataset)
+            records[-1].update(test_rmse=rmse, test_nll=nll)
+        return records
+
+    def predict(self, inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        feats = self._features(inputs)
+        key = ("predict", inputs.shape[0])
+        if key not in self._jit_cache:
+            model, cfg = self.model, self.cfg
+
+            def fn(params, state, f):
+                mean, var = wiski_lowrank_predict(model, params, state, f, cfg)
+                var = var + jnp.exp(params["raw_second_noise"])
+                return mean[:, None], var[:, None]
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](self.params, self.state, feats)
+
+    def evaluate(self, inputs, targets) -> Tuple[float, float]:
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, 1)
+        return batched_rmse_nll(self.predict, inputs, targets)
+
+    def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):
+        self.lr = gp_lr
+        self.gp_opt = optax.adam(gp_lr)
+        self.gp_opt_state = self.gp_opt.init(self.params)
+        self._jit_cache = {}
+
+    @property
+    def noise(self):
+        return jnp.exp(self.params["raw_second_noise"])

@@ -167,10 +167,10 @@ def wiski_condition(
 
     root_noise = jnp.sqrt(jnp.maximum(noise, 1e-7))  # (q, B)
     v = w_cols[None, :, :] / root_noise.T[:, None, :]  # (B, m, q)
-    if detach_interp and B == 1 and q == 1:
-        # fused Pallas kernel on the single-output point-streaming hot
-        # path (~2.3x the XLA update); the differentiable path (fantasy
-        # acquisitions condition with detach_interp=False) stays on XLA.
+    if detach_interp and B <= 8 and q == 1:
+        # fused Pallas kernel on the point-streaming hot path (~2.3x the
+        # XLA update; small class batches unroll); the differentiable path
+        # (fantasy acquisitions, detach_interp=False) stays on XLA.
         from online_gp_tpu.ops.pallas_root_update import pallas_root_cache_update
 
         roots = pallas_root_cache_update(state.roots, v)

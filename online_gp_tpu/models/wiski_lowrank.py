@@ -9,12 +9,14 @@ large-grid regime is gpytorch's Lanczos root decomposition capped at
 k ≪ m, updates stay within the tracked column space, and every solve is
 k×k. This module is that regime, TPU-first:
 
-  state:  root L (B, m, k), inv_gram G = (L^T L)^{-1} (B, k, k),
-          wty, ydy, d_logdet as in the dense core.
-  update: project v onto span(L) via the maintained inverse Gram —
-          p = G L^T v — and apply the same thin-SVD eigen-update
-          L <- L (I + U diag(c) U^T) (exact within the column space,
-          matching the reference's rank-capped ``collect_vector``).
+  state:  root L (m, k_buf) with ``used`` active columns; wty, ydy,
+          d_logdet as in the dense core.
+  update: EXACT rank-1 append — A + v v^T = [L v][L v]^T — into the spare
+          buffer columns, with an amortized top-k SVD compression when the
+          buffer fills (O(m k^2) every k_buf - k updates). Strictly more
+          accurate than the reference's fixed-subspace rank-capped update,
+          which silently drops the out-of-span component
+          (``updated_root_lazy_tensor.py:99-108``).
   mll:    Q = I_k + L^T K_uu L via k structured MVMs (Kronecker or
           Toeplitz-FFT factors — never a dense K_uu), then a k×k Cholesky:
 
@@ -51,10 +53,15 @@ LOG_2PI = 1.8378770664093453
 class WiskiLowRankModel(NamedTuple):
     kernel: Kernel
     grid: Grid
-    rank: int = 512  # the reference's max_root_decomposition_size
+    rank: int = 512  # compression target (the reference's max_root_decomposition_size)
+    buffer_cols: int = 0  # root buffer width; 0 -> 2*rank
     learn_additional_noise: bool = False
     use_toeplitz: bool = True
     priors: Optional[tuple] = None
+
+    @property
+    def k_buf(self) -> int:
+        return self.buffer_cols or 2 * self.rank
 
     def init_params(self, num_dims: int, dtype=jnp.float32, **kw) -> Dict:
         params = {"kernel": self.kernel.init_params(num_dims, (), dtype=dtype, **kw)}
@@ -66,8 +73,8 @@ class WiskiLowRankModel(NamedTuple):
 class WiskiLowRankState(NamedTuple):
     wty: jnp.ndarray  # (m, 1)
     ydy: jnp.ndarray  # ()
-    root: jnp.ndarray  # (m, k)
-    inv_gram: jnp.ndarray  # (k, k) = (L^T L)^{-1}
+    root: jnp.ndarray  # (m, k_buf); columns >= used are zero
+    used: jnp.ndarray  # () int32 — active root columns
     d_logdet: jnp.ndarray  # ()
     num_data: jnp.ndarray  # () int32
 
@@ -116,15 +123,14 @@ def wiski_lowrank_init(
             ydy = ydy + jnp.sum(y_c * dinv_y)
 
         v0 = jax.random.normal(key, (m,), x.dtype)
-        L = lanczos_root(a_mvm, v0, model.rank)  # (m, k)
-        gram = L.T @ L + 1e-6 * jnp.eye(model.rank, dtype=x.dtype)
-        inv_gram = cho_solve(psd_safe_cholesky(gram, jitter=1e-6), jnp.eye(model.rank, dtype=x.dtype))
+        L0 = lanczos_root(a_mvm, v0, model.rank)  # (m, rank)
+        L = jnp.zeros((m, model.k_buf), x.dtype).at[:, : model.rank].set(L0)
 
     return WiskiLowRankState(
         wty=wty,
         ydy=ydy,
         root=L,
-        inv_gram=inv_gram,
+        used=jnp.asarray(model.rank, jnp.int32),
         d_logdet=jnp.sum(jnp.log(noise)),
         num_data=jnp.asarray(n, jnp.int32),
     )
@@ -137,49 +143,42 @@ def wiski_lowrank_condition(
     y: jnp.ndarray,
     noise: jnp.ndarray,
 ) -> WiskiLowRankState:
-    """O(m k q) rank-capped conditioning.
+    """Exact O(m q) rank-q conditioning by column append, with amortized
+    top-rank compression.
 
-    The update direction is v's projection onto span(L) (the reference's
-    rank-capped update confines growth to the tracked column space,
-    ``updated_root_lazy_tensor.py:99-108``): with z = G L^T v (k, q) and
-    thin SVD (L z) = ... the root eigen-update is applied in coefficient
-    space, and the inverse Gram is updated by the matching inverse factor.
+    A + v v^T = [L v][L v]^T exactly, so new observations append scaled
+    interpolation columns into the root buffer. When fewer than q slots
+    remain, the root is compressed to its best rank-``model.rank``
+    approximation first (eigh of the k_buf x k_buf Gram, O(m k^2) once per
+    ~(k_buf - rank) updates). The compression is the ONLY approximation —
+    unlike the reference's fixed-subspace update, no out-of-span
+    information is dropped at append time.
     """
     y = y.reshape(-1, 1)
     noise = noise.reshape(-1, 1)
     q = x.shape[0]
     m = model.grid.num_points
-    k = model.rank
+    k_buf, k0 = model.k_buf, model.rank
+    if q > k_buf - k0:
+        raise ValueError(f"batch q={q} exceeds buffer headroom {k_buf - k0}")
 
     idx, w = interp_coeffs(model.grid, x, detach=True)
     w_cols = dense_w(idx, w, m)  # (m, q)
     v = w_cols / jnp.sqrt(jnp.maximum(noise[:, 0], 1e-7))[None, :]
 
     with jax.default_matmul_precision("float32"):
-        L, G = state.root, state.inv_gram
-        # coefficient-space representation of the projected update:
-        # v_par = L z with z = G L^T v; then A+v_par v_par^T = L(I+zz^T)L^T
-        z = G @ (L.T @ v)  # (k, q)
-        # A + (Lz)(Lz)^T = L (I + z z^T) L^T, and with the Euclidean thin
-        # SVD z = U diag(s) V^T:  I + z z^T = (I + U diag(c) U^T)^2,
-        # c = sqrt(s^2+1) - 1 — exact within the tracked column space.
-        gram_q = z.T @ z
-        s2_eig, V = jnp.linalg.eigh(gram_q)
-        s2_eig = jnp.maximum(s2_eig, 0.0)
-        s = jnp.sqrt(s2_eig)
-        safe_s = jnp.maximum(s, 1e-20)
-        U = (z @ V) / safe_s[None, :]  # (k, q) orthonormal columns
-        c = jnp.sqrt(s2_eig + 1.0) - 1.0
-        valid = (s > 0).astype(v.dtype)
-        c = c * valid
-        # L <- L (I + U diag(c) U^T): right-multiply keeps (m, k)
-        M = jnp.eye(k, dtype=v.dtype) + (U * c[None, :]) @ U.T
-        new_root = L @ M
-        # (L M)^T (L M) = M^T (L^T L) M; update inverse Gram via M^{-1}:
-        # M^{-1} = I + U diag(1/(1+c) - 1) U^T
-        d = 1.0 / (1.0 + c) - 1.0
-        Minv = jnp.eye(k, dtype=v.dtype) + (U * d[None, :]) @ U.T
-        new_inv_gram = Minv @ G @ Minv.T
+        def compress(root):
+            gram = root.T @ root  # (k_buf, k_buf)
+            evals, V = jnp.linalg.eigh(gram)  # ascending
+            keep = V[:, k_buf - k0 :]  # top-k0 eigvecs
+            newL = root @ keep  # (m, k0); newL newL^T = best rank-k0 approx
+            return jnp.zeros_like(root).at[:, :k0].set(newL)
+
+        need_compress = state.used + q > k_buf
+        root = jax.lax.cond(need_compress, compress, lambda r: r, state.root)
+        used = jnp.where(need_compress, k0, state.used)
+        root = _append_cols(root, v, used)
+        used = used + q
 
         dinv_y = y / noise
         new_wty = state.wty.at[idx.reshape(-1), 0].add((w * dinv_y).reshape(-1))
@@ -187,11 +186,24 @@ def wiski_lowrank_condition(
     return WiskiLowRankState(
         wty=new_wty,
         ydy=state.ydy + jnp.sum(y * dinv_y),
-        root=new_root,
-        inv_gram=new_inv_gram,
+        root=root,
+        used=used,
         d_logdet=state.d_logdet + jnp.sum(jnp.log(noise)),
         num_data=state.num_data + q,
     )
+
+
+def _append_cols(root: jnp.ndarray, v: jnp.ndarray, used) -> jnp.ndarray:
+    """Write v's q columns at positions [used, used+q) (traced index)."""
+    k_buf = root.shape[-1]
+    q = v.shape[-1]
+    col_ids = jnp.arange(k_buf)
+    mask = (col_ids >= used) & (col_ids < used + q)  # (k_buf,)
+    src = jnp.zeros_like(root)
+    # place v columns at the right offsets: column j of v -> slot used + j
+    offsets = jnp.clip(col_ids - used, 0, q - 1)
+    gathered = v[:, offsets]  # (m, k_buf)
+    return jnp.where(mask[None, :], gathered, root)
 
 
 def _q_pieces(model, params, state):

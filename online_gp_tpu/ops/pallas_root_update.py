@@ -112,15 +112,22 @@ def pallas_rank1_update(L, B, A, v, tile: int = 128):
 
 
 def pallas_root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
-    """Drop-in for :func:`root_cache_update` on the (B=1, q=1) hot path;
-    falls back to the XLA path for other shapes or non-TPU backends."""
+    """Drop-in for :func:`root_cache_update` on the q=1 hot path (small
+    output batches unroll into per-output kernel calls); falls back to the
+    XLA path for other shapes or non-TPU backends."""
     if (
         jax.default_backend() != "tpu"
         or v.ndim != 3
-        or v.shape[0] != 1
+        or v.shape[0] > 8
         or v.shape[-1] != 1
     ):
         return root_cache_update(cache, v)
-    L, B, A = cache.root[0], cache.inv_root[0], cache.mat[0]
-    Lp, Bp, Ap = pallas_rank1_update(L, B, A, v[0])
-    return RootCache(mat=Ap[None], root=Lp[None], inv_root=Bp[None])
+    outs = [
+        pallas_rank1_update(cache.root[b], cache.inv_root[b], cache.mat[b], v[b])
+        for b in range(v.shape[0])
+    ]
+    return RootCache(
+        mat=jnp.stack([o[2] for o in outs]),
+        root=jnp.stack([o[0] for o in outs]),
+        inv_root=jnp.stack([o[1] for o in outs]),
+    )
