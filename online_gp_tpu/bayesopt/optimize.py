@@ -65,6 +65,12 @@ def optimize_acqf(
 
     opt = optax.adam(lr)
 
+    # pin the carry scalar dtype to the acquisition's output dtype (under
+    # x64 mode python -inf literals would otherwise promote and break the
+    # while_loop carry typing)
+    val_dtype = jax.eval_shape(lambda t: acqf(to_x(t)), starts[0]).dtype
+    neg_inf = jnp.asarray(-jnp.inf, val_dtype)
+
     def restart_opt(t0):
         def cond(carry):
             t, os_, it, last, cur, best_t, best_val = carry
@@ -73,6 +79,7 @@ def optimize_acqf(
         def body(carry):
             t, os_, it, last, cur, best_t, best_val = carry
             val, g = jax.value_and_grad(lambda tt: acqf(to_x(tt)))(t)
+            val = val.astype(val_dtype)
             better = val > best_val
             best_t = jax.tree.map(lambda a, b: jnp.where(better, a, b), t, best_t)
             best_val = jnp.where(better, val, best_val)
@@ -80,7 +87,7 @@ def optimize_acqf(
             t = optax.apply_updates(t, up)
             return (t, os_, it + 1, cur, val, best_t, best_val)
 
-        carry = (t0, opt.init(t0), jnp.asarray(0), -jnp.inf, -jnp.inf, t0, -jnp.inf)
+        carry = (t0, opt.init(t0), jnp.asarray(0), neg_inf, neg_inf, t0, neg_inf)
         *_, best_t, best_val = jax.lax.while_loop(cond, body, carry)
         return to_x(best_t), best_val
 
