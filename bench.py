@@ -51,6 +51,35 @@ def main():
         s, _ = jax.lax.scan(step, state, (xs, ys, ns))
         return s
 
+    # Correctness gate before timing: the scanned stream (Pallas fused
+    # kernel on TPU) must match the pure-XLA root update on the same
+    # prefix. A drift here means the headline number is timing a broken op.
+    from online_gp_tpu.ops.root_update import root_cache_update
+    from online_gp_tpu.ops.interp import interp_coeffs, dense_w
+
+    @jax.jit
+    def stream_xla_roots(state, xs, ns):
+        m = model.grid.num_points
+
+        def step(roots, inp):
+            xi, ni = inp
+            idx, w = interp_coeffs(model.grid, xi, detach=True)
+            w_cols = dense_w(idx, w, m)
+            v = w_cols[None] / jnp.sqrt(jnp.maximum(ni, 1e-7)).T[:, None, :]
+            return root_cache_update(roots, v), 0.0
+
+        roots, _ = jax.lax.scan(step, state.roots, (xs, ns))
+        return roots
+
+    n_check = 256
+    checked = stream(state, xs[:n_check], ys[:n_check], ns[:n_check])
+    oracle = stream_xla_roots(state, xs[:n_check], ns[:n_check])
+    err = float(jnp.max(jnp.abs(checked.roots.root - oracle.root)))
+    scale = float(jnp.max(jnp.abs(oracle.root)))
+    assert err <= 1e-3 * max(scale, 1.0), (
+        f"Pallas/XLA root drift {err:.3e} over {n_check} updates — refusing to bench"
+    )
+
     # compile + warmup
     out = stream(state, xs, ys, ns)
     jax.block_until_ready(out.roots.mat)

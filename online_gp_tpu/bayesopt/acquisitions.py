@@ -86,7 +86,12 @@ def q_knowledge_gradient(
 
     def one_fantasy(yf):
         noise = jnp.ones((x.shape[0], model.num_outputs), x.dtype)
-        st = wiski_condition(model, state, x, yf[:, None], noise)
+        # detach_interp=False: the acquisition is optimized by gradient
+        # ascent on x, and the variance-reduction channel (x's interp
+        # weights entering the root/wty update) must stay differentiable
+        # — same reasoning as qNIPV. Also keeps this vmapped call off the
+        # non-differentiable Pallas path.
+        st = wiski_condition(model, state, x, yf[:, None], noise, detach_interp=False)
         m, _ = wiski_predict(model, params, st, x_discrete, cfg.replace(skip_posterior_variances=True))
         return jnp.max(m[0])
 

@@ -14,8 +14,12 @@ whole update into two passes:
      B_i <- B_i + d (B_i u) u^T
      A_i <- A_i + v_i v^T
 
-so L/B/A stream through VMEM exactly once each way. Falls back to the
-XLA path on CPU (tests) via ``interpret`` off-TPU.
+so L/B/A stream through VMEM exactly once each way. Off-TPU,
+``pallas_root_cache_update`` falls back to the XLA path
+(:func:`root_cache_update`); the kernel itself can be executed anywhere
+with ``interpret=True`` — the correctness tests
+(``tests/ops/test_pallas_root_update.py``) run it that way on CPU against
+the XLA implementation.
 """
 
 from __future__ import annotations
@@ -63,12 +67,14 @@ def _update_kernel(p_ref, vfull_ref, l_ref, b_ref, a_ref, v_ref, lo_ref, bo_ref,
     ao_ref[:] = a_ref[:] + v_ref[:] * vfull_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def pallas_rank1_update(L, B, A, v, tile: int = 128):
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_rank1_update(L, B, A, v, tile: int = 128, interpret: bool = False):
     """Fused rank-1 update of (L, B, A) with vector v.
 
     Args:
       L, B, A: (m, m) float32; v: (m, 1) float32.
+      interpret: run the kernel in Pallas interpret mode (any backend);
+        used by the CPU parity tests.
 
     Returns (L', B', A').
     """
@@ -78,6 +84,7 @@ def pallas_rank1_update(L, B, A, v, tile: int = 128):
     p = pl.pallas_call(
         functools.partial(_p_kernel, m=m, tile=tile),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -89,6 +96,7 @@ def pallas_rank1_update(L, B, A, v, tile: int = 128):
     outs = pl.pallas_call(
         _update_kernel,
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # p
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # v^T
@@ -111,19 +119,23 @@ def pallas_rank1_update(L, B, A, v, tile: int = 128):
     return outs
 
 
-def pallas_root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
+def pallas_root_cache_update(
+    cache: RootCache, v: jnp.ndarray, interpret: bool = False
+) -> RootCache:
     """Drop-in for :func:`root_cache_update` on the q=1 hot path (small
     output batches unroll into per-output kernel calls); falls back to the
-    XLA path for other shapes or non-TPU backends."""
+    XLA path for other shapes or (unless ``interpret``) non-TPU backends."""
     if (
-        jax.default_backend() != "tpu"
+        (jax.default_backend() != "tpu" and not interpret)
         or v.ndim != 3
         or v.shape[0] > 8
         or v.shape[-1] != 1
     ):
         return root_cache_update(cache, v)
     outs = [
-        pallas_rank1_update(cache.root[b], cache.inv_root[b], cache.mat[b], v[b])
+        pallas_rank1_update(
+            cache.root[b], cache.inv_root[b], cache.mat[b], v[b], interpret=interpret
+        )
         for b in range(v.shape[0])
     ]
     return RootCache(
