@@ -42,8 +42,9 @@ import jax.numpy as jnp
 
 from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
 from online_gp_tpu.kernels.base import Kernel
-from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense
+from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense, grid_kuu_mvm
 from online_gp_tpu.kernels.priors import log_prior_sum
+from online_gp_tpu.ops.cg import batched_cg, lanczos, lanczos_root, slq_logdet
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.ops.interp import interp_coeffs, dense_w, gather_predict, interp_matvec
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
@@ -249,6 +250,108 @@ def _q_factor(model: WiskiModel, params: Dict, state: WiskiState):
         return Kuu, KuuL, Lq, Kuu_wty, proj
 
 
+def _kuu_mvm_b(model: WiskiModel, params: Dict, b: int, cfg: SolverConfig):
+    """Per-output structured MVM by Kuu_eff[b]: (m, k) -> (m, k).
+
+    Under ``use_toeplitz`` the product rides the Kronecker-of-Toeplitz FFT
+    path (never materializing the m x m matrix); otherwise a dense matmul.
+    """
+    kp_b = jax.tree.map(lambda a: a[b], params["kernel"])
+    s2 = _second_noise(model, params)
+    if cfg.use_toeplitz:
+        def mvm(x):
+            out = grid_kuu_mvm(model.kernel, kp_b, model.grid, x, use_toeplitz=True)
+            return out / s2[b] if s2 is not None else out
+    else:
+        Kuu_b = grid_kuu_dense(model.kernel, kp_b, model.grid)
+        if s2 is not None:
+            Kuu_b = Kuu_b / s2[b]
+
+        def mvm(x):
+            return Kuu_b @ x
+
+    return mvm
+
+
+def _q_mvm_b(model: WiskiModel, params: Dict, state: WiskiState, b: int, cfg: SolverConfig):
+    """Per-output MVM by Q[b] = I + L^T Kuu_eff L: (m, k) -> (m, k)."""
+    kuu_mvm = _kuu_mvm_b(model, params, b, cfg)
+    L = state.roots.root[b]
+
+    def mvm(v):
+        return v + L.T @ kuu_mvm(L @ v)
+
+    return mvm
+
+
+def _mll_inner_iterative(
+    model: WiskiModel, params: Dict, state: WiskiState, cfg: SolverConfig
+):
+    """CG/SLQ-backed inner MLL terms for m > max_cholesky_size.
+
+    The reference reaches the same regime through gpytorch's
+    ``inv_quad_logdet`` (CG solves + stochastic Lanczos quadrature when m
+    exceeds ``max_cholesky_size``; ``config/regression.yaml:24-27``,
+    ``mlls/batched_woodbury_marginal_log_likelihood.py:27-30``). Per output:
+
+      inner_qform  = proj^T Q^{-1} proj           via batched CG
+      inner_logdet = log|Q|                       via SLQ (value) with a
+                     Hutchinson trace surrogate supplying the exact-in-
+                     expectation gradient d log|Q| = tr(Q^{-1} dQ)
+      Kuu_wty      = Kuu_eff (W D^{-1} y)         via the structured MVM
+
+    Probe/iteration budgets come from cfg (max_cg_iterations, cg_tolerance,
+    max_root_decomposition_size). Probes are drawn from a fixed key, so the
+    estimate is deterministic per (shapes, cfg) — stochastic across nothing
+    the test suite can't control.
+    """
+    B = model.num_outputs
+    m = state.roots.root.shape[-1]
+    cg_iters = min(cfg.max_cg_iterations, m)
+    slq_iters = min(cfg.max_root_decomposition_size, m, 64)
+    num_probes = 16
+
+    qforms, logdets, kuu_wtys = [], [], []
+    with jax.default_matmul_precision("float32"):
+        for b in range(B):
+            kuu_mvm = _kuu_mvm_b(model, params, b, cfg)
+            q_mvm = _q_mvm_b(model, params, state, b, cfg)
+            L = state.roots.root[b]
+
+            kuu_wty = kuu_mvm(state.wty[b])  # (m, 1)
+            proj = L.T @ kuu_wty  # (m, 1)
+            sol = batched_cg(q_mvm, proj, max_iters=cg_iters, tol=cfg.cg_tolerance)
+            qforms.append(jnp.sum(proj * sol))
+            kuu_wtys.append(kuu_wty)
+
+            # log|Q|: SLQ for the forward value; gradient from the
+            # Hutchinson estimator E_z[ sg(Q^{-1} z)^T Q z ] whose
+            # derivative is tr(Q^{-1} dQ) in expectation.
+            key = jax.random.PRNGKey(b)
+            slq_val = slq_logdet(
+                lambda v: q_mvm(v[:, None])[:, 0],
+                m,
+                key,
+                num_probes=num_probes,
+                num_iters=slq_iters,
+                dtype=L.dtype,
+            )
+            z = jax.random.rademacher(
+                jax.random.fold_in(key, 1), (m, num_probes), dtype=L.dtype
+            )
+            qinv_z = jax.lax.stop_gradient(
+                batched_cg(q_mvm, z, max_iters=cg_iters, tol=cfg.cg_tolerance)
+            )
+            surrogate = jnp.sum(qinv_z * q_mvm(z)) / num_probes
+            logdets.append(jax.lax.stop_gradient(slq_val - surrogate) + surrogate)
+
+    return (
+        jnp.stack(qforms),
+        jnp.stack(logdets),
+        jnp.stack(kuu_wtys),
+    )
+
+
 def wiski_mll(
     model: WiskiModel,
     params: Dict,
@@ -265,12 +368,22 @@ def wiski_mll(
       logdet = log|Q| + log|D| (+ n log s2)
       mll    = -(quad + logdet + n log 2pi)/2 + log p(theta);   returned /n
 
+    Dispatches on ``cfg.max_cholesky_size``: dense Cholesky at or below it,
+    batched CG + SLQ above it (the gpytorch ``inv_quad_logdet`` split the
+    reference configures at ``config/regression.yaml:26``).
+
     Returns (B,) — callers sum over outputs like the reference wrappers.
     """
-    _, _, Lq, Kuu_wty, proj = _q_factor(model, params, state)
-    sol = cho_solve(Lq, proj)
-    inner_qform = jnp.sum(proj * sol, axis=(-2, -1))  # (B,)
-    inner_logdet = chol_logdet(Lq)  # (B,)
+    m = state.roots.root.shape[-1]
+    if m > cfg.max_cholesky_size:
+        inner_qform, inner_logdet, Kuu_wty = _mll_inner_iterative(
+            model, params, state, cfg
+        )
+    else:
+        _, _, Lq, Kuu_wty, proj = _q_factor(model, params, state)
+        sol = cho_solve(Lq, proj)
+        inner_qform = jnp.sum(proj * sol, axis=(-2, -1))  # (B,)
+        inner_logdet = chol_logdet(Lq)  # (B,)
     if cfg.skip_logdet_forward:
         # gpytorch semantics: zero in the forward value, gradient intact.
         inner_logdet = inner_logdet - jax.lax.stop_gradient(inner_logdet)
@@ -313,15 +426,36 @@ def wiski_prediction_caches(
     hyperparameter/state change and closed over for many predict calls.
     """
     _, KuuL, Lq, Kuu_wty, proj = _q_factor(model, params, state)
+    m = KuuL.shape[-1]
     with jax.default_matmul_precision("float32"):
         mean_cache = Kuu_wty - KuuL @ cho_solve(Lq, proj)
         if cfg.skip_posterior_variances:
             return mean_cache, None
         Kuu = _kuu_eff(model, params)
-        # R = KuuL Lq^{-T} so cov = Kuu - R R^T (the fast_pred_var LOVE root
-        # is exactly R; with a dense Cholesky both branches coincide).
-        R = tri_solve(Lq, KuuL.swapaxes(-1, -2))  # (B, m, m): Lq^{-1} (KuuL)^T
-        cov_cache = Kuu - jnp.einsum("bki,bkj->bij", R, R)
+        k = min(m, cfg.max_root_decomposition_size)
+        if cfg.fast_pred_var and k < m:
+            # LOVE-style fast variances (reference lines 393-397): a rank-k
+            # Lanczos inverse root Rq of Q (Q^{-1} ~= Rq Rq^T), so
+            # cov ~= Kuu - (KuuL Rq)(KuuL Rq)^T. Krylov start vector = proj
+            # (the direction the predictive mean already solves along).
+            roots = []
+            for b in range(model.num_outputs):
+                q_mvm = _q_mvm_b(model, params, state, b, cfg)
+                Qlan, alphas, betas = lanczos(
+                    lambda v: q_mvm(v[:, None])[:, 0], proj[b, :, 0], k
+                )
+                T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+                evals, evecs = jnp.linalg.eigh(T)
+                evals = jnp.maximum(evals, 1e-10)
+                Rq = Qlan.T @ (evecs / jnp.sqrt(evals)[None, :])  # (m, k)
+                roots.append(KuuL[b] @ Rq)
+            R = jnp.stack(roots)  # (B, m, k)
+            cov_cache = Kuu - jnp.einsum("bik,bjk->bij", R, R)
+        else:
+            # exact path; R = Lq^{-1} (KuuL)^T is the same LOVE root at
+            # full rank, so fast_pred_var with k >= m coincides with this.
+            R = tri_solve(Lq, KuuL.swapaxes(-1, -2))  # (B, m, m)
+            cov_cache = Kuu - jnp.einsum("bki,bkj->bij", R, R)
         return mean_cache, cov_cache
 
 
@@ -344,6 +478,14 @@ def wiski_predict(
     if caches is None:
         caches = wiski_prediction_caches(model, params, state, cfg)
     mean_cache, cov_cache = caches
+    if cfg.fast_pred_samples and cov_cache is not None:
+        # root-decomposed covariance path (reference lines 229-243): the
+        # variance is the row norm of the interpolated covariance root —
+        # the same root joint sampling uses, rank-capped by
+        # max_root_decomposition_size inside wiski_predict_root.
+        mean, root = wiski_predict_root(model, params, state, x, cfg, caches=caches)
+        var = jnp.maximum(jnp.sum(root * root, axis=-1), 1e-12)
+        return mean, var
     idx, w = interp_coeffs(model.grid, x, detach=cfg.detach_interp_coeff)
     mean, var = gather_predict(idx, w, mean_cache, cov_cache)
     if var is not None:
@@ -360,17 +502,37 @@ def wiski_predict_root(
     state: WiskiState,
     x: jnp.ndarray,
     cfg: SolverConfig = DEFAULT_CONFIG,
+    caches: Optional[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fast_pred_samples path: mean plus a low-rank joint-covariance root
-    W_x @ chol(cov_cache) for cheap posterior sampling (lines 229-243).
+    W_x @ root(cov_cache) for cheap posterior sampling (lines 229-243).
 
-    Returns mean (B, n) and root (B, n, m) with cov = root @ root^T.
+    The grid-space root is a Cholesky factor at m <= max_root_decomposition
+    size and a rank-capped Lanczos root above it (the reference's
+    ``root_decomposition(method="lanczos")`` under the same cap,
+    ``batched_fixed_noise_online_gp.py:231``).
+
+    Returns mean (B, n) and root (B, n, k) with cov ~= root @ root^T
+    (k = min(m, cfg.max_root_decomposition_size)).
     """
-    mean_cache, cov_cache = wiski_prediction_caches(model, params, state, cfg)
+    if caches is None:
+        caches = wiski_prediction_caches(model, params, state, cfg)
+    mean_cache, cov_cache = caches
     idx, w = interp_coeffs(model.grid, x, detach=cfg.detach_interp_coeff)
     mean = interp_matvec(idx, w, mean_cache)[..., 0]
-    cov_root = psd_safe_cholesky(cov_cache, jitter=cfg.cholesky_jitter)
-    root = interp_matvec(idx, w, cov_root)  # (B, n, m)
+    m = cov_cache.shape[-1]
+    k = min(m, cfg.max_root_decomposition_size)
+    if k < m:
+        v0 = jax.random.normal(jax.random.PRNGKey(0), (m,), cov_cache.dtype)
+        cov_root = jnp.stack(
+            [lanczos_root(lambda v: cov_cache[b] @ v, v0, k)
+             for b in range(model.num_outputs)]
+        )  # (B, m, k)
+    else:
+        cov_root = psd_safe_cholesky(
+            cov_cache, jitter=cfg.cholesky_jitter, tries=cfg.max_cholesky_jitter_tries
+        )
+    root = interp_matvec(idx, w, cov_root)  # (B, n, k)
     s2 = _second_noise(model, params)
     if s2 is not None:
         root = root * jnp.sqrt(s2)[..., None, None]
