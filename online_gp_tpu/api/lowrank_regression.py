@@ -21,6 +21,7 @@ from online_gp_tpu.kernels.base import make_kernel, Kernel
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.models.wiski_lowrank import (
     WiskiLowRankModel,
+    lowrank_second_noise,
     wiski_lowrank_init,
     wiski_lowrank_condition,
     wiski_lowrank_mll,
@@ -69,7 +70,11 @@ class OnlineSKILowRankRegression:
         self.params = self.model.init_params(stem.output_dim)
         self.state = wiski_lowrank_init(self.model, feats, init_y, jnp.ones_like(init_y), key=key)
 
-        self.gp_opt = optax.adam(lr)
+        # streaming convention: per-step hyper moves run at lr/10 (the
+        # full lr belongs to batch `fit`); together with the sigma^2 floor
+        # in the model this keeps long skip-logdet streams from collapsing
+        # the likelihood scale (round-1 TODO "Quality" #1).
+        self.gp_opt = optax.adam(lr / 10.0)
         self.gp_opt_state = self.gp_opt.init(self.params)
         self._jit_cache: Dict = {}
 
@@ -146,7 +151,7 @@ class OnlineSKILowRankRegression:
 
             def fn(params, state, f):
                 mean, var = wiski_lowrank_predict(model, params, state, f, cfg)
-                var = var + jnp.exp(params["raw_second_noise"])
+                var = var + lowrank_second_noise(params)
                 return mean[:, None], var[:, None]
 
             self._jit_cache[key] = jax.jit(fn)
@@ -159,10 +164,10 @@ class OnlineSKILowRankRegression:
 
     def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):
         self.lr = gp_lr
-        self.gp_opt = optax.adam(gp_lr)
+        self.gp_opt = optax.adam(gp_lr / 10.0)
         self.gp_opt_state = self.gp_opt.init(self.params)
         self._jit_cache = {}
 
     @property
     def noise(self):
-        return jnp.exp(self.params["raw_second_noise"])
+        return lowrank_second_noise(self.params)

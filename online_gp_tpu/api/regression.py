@@ -47,7 +47,60 @@ from online_gp_tpu.utils.buffers import ReplayBuffer
 from online_gp_tpu.utils.metrics import batched_rmse_nll
 
 
+# Above this many inducing points the dense core's three m x m f32 caches
+# stop being the right regime (m=4096 is already ~200 MB of state, and init
+# is O(m^3)); the flagship wrapper auto-routes to the rank-capped core.
+DENSE_GRID_LIMIT = 4096
+
+
 class OnlineSKIRegression:
+    """Flagship streaming-regression wrapper.
+
+    Covers BOTH WISKI regimes behind one constructor: the dense O(m^2)
+    core for grids up to ``DENSE_GRID_LIMIT`` inducing points, and the
+    rank-capped structured core (``OnlineSKILowRankRegression``) above it
+    or whenever ``low_rank=`` is passed explicitly — the reference's
+    large-grid configuration (``max_root_decomposition_size`` +
+    ``use_toeplitz``, ``/root/reference/experiments/bayesopt/bayesopt.py:280-291``).
+    """
+
+    def __new__(
+        cls,
+        stem: Stem = None,
+        init_x=None,
+        init_y=None,
+        lr: float = 0.01,
+        grid_size: int = 30,
+        grid_bound: float = 1.0,
+        kernel: str | Kernel = "rbf",
+        cfg: SolverConfig = DEFAULT_CONFIG,
+        seed: int = 0,
+        refresh_roots_every: int = 0,
+        low_rank: Optional[int] = None,
+        **unused,
+    ):
+        if cls is OnlineSKIRegression and stem is not None:
+            m = grid_size ** stem.output_dim
+            if low_rank is not None or m > DENSE_GRID_LIMIT:
+                from online_gp_tpu.api.lowrank_regression import (
+                    OnlineSKILowRankRegression,
+                )
+
+                return OnlineSKILowRankRegression(
+                    stem,
+                    init_x,
+                    init_y,
+                    lr=lr,
+                    grid_size=grid_size,
+                    grid_bound=grid_bound,
+                    rank=low_rank or 512,
+                    kernel=kernel,
+                    cfg=cfg,
+                    seed=seed,
+                    **unused,
+                )
+        return super().__new__(cls)
+
     def __init__(
         self,
         stem: Stem,
@@ -60,6 +113,7 @@ class OnlineSKIRegression:
         cfg: SolverConfig = DEFAULT_CONFIG,
         seed: int = 0,
         refresh_roots_every: int = 0,
+        low_rank: Optional[int] = None,
         **unused,
     ):
         init_x = jnp.asarray(init_x)
@@ -76,11 +130,13 @@ class OnlineSKIRegression:
         feats = jax.lax.stop_gradient(feats)
 
         grid_bound = grid_bound + 1e-1
-        if grid_size**stem.output_dim > 65536:
+        if grid_size**stem.output_dim > DENSE_GRID_LIMIT:
+            # unreachable through the factory (__new__ routes big grids to
+            # the low-rank core); guards direct subclass construction
             raise ValueError(
                 f"SKI grid {grid_size}^{stem.output_dim} = {grid_size**stem.output_dim} inducing "
-                "points is infeasible; use a dimensionality-reducing stem "
-                "(e.g. LinearStem/MLPStem with feature_dim<=3) or a smaller grid"
+                f"points exceeds the dense-core limit {DENSE_GRID_LIMIT}; pass low_rank= "
+                "(or construct via OnlineSKIRegression, which auto-routes)"
             )
         grid = Grid.create([(-grid_bound, grid_bound)] * stem.output_dim, grid_size)
         if isinstance(kernel, str):

@@ -79,12 +79,27 @@ class WiskiLowRankState(NamedTuple):
     num_data: jnp.ndarray  # () int32
 
 
+# Floor on the learnable second noise. Per-step skip-logdet hyper fitting
+# can collapse sigma^2 toward zero over long streams (fine for RMSE,
+# catastrophic for NLL — round-1 TODO "Quality" #1); the floor keeps the
+# likelihood scale sane while leaving the gradient alive above it.
+S2_FLOOR = 1e-4
+
+
+def lowrank_second_noise(params: Dict) -> Optional[jnp.ndarray]:
+    """Floored multiplicative second noise sigma^2 = S2_FLOOR + exp(raw)."""
+    raw = params.get("raw_second_noise")
+    if raw is None:
+        return None
+    return S2_FLOOR + jnp.exp(raw)
+
+
 def _kuu_mvm(model: WiskiLowRankModel, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """(m, k) -> (m, k) structured K_uu product (never dense)."""
     kuu = grid_kuu_mvm(model.kernel, params["kernel"], model.grid, x, model.use_toeplitz)
-    s2 = params.get("raw_second_noise")
+    s2 = lowrank_second_noise(params)
     if s2 is not None:
-        kuu = kuu / jnp.exp(s2)
+        kuu = kuu / s2
     return kuu
 
 
@@ -238,10 +253,10 @@ def wiski_lowrank_mll(
         logdet = inner_logdet + state.d_logdet
         n = state.num_data.astype(quad.dtype)
         final = n * LOG_2PI
-        s2 = params.get("raw_second_noise")
+        s2 = lowrank_second_noise(params)
         if s2 is not None:
-            quad = quad / jnp.exp(s2)
-            final = final + n * s2
+            quad = quad / s2
+            final = final + n * jnp.log(s2)
         res = -0.5 * (quad + logdet + final)
         if model.priors:
             res = res + log_prior_sum(dict(model.priors), params["kernel"])
@@ -277,7 +292,7 @@ def wiski_lowrank_predict(
         prior_diag = jnp.sum(Wx * KWx, axis=0)  # (n,)
         Rw = interp_matvec(idx, w, R)  # (n, k)
         var = prior_diag - jnp.sum(Rw * Rw, axis=-1)
-        s2 = params.get("raw_second_noise")
+        s2 = lowrank_second_noise(params)
         if s2 is not None:
-            var = var * jnp.exp(s2)
+            var = var * s2
         return mean, jnp.maximum(var, 1e-12)

@@ -1,0 +1,63 @@
+"""Unified low-rank regime under the flagship wrapper.
+
+The reference exposes its large-grid configuration through the same model
+class plus gpytorch settings (``max_root_decomposition_size`` /
+``use_toeplitz``, ``/root/reference/experiments/bayesopt/bayesopt.py:280-291``);
+here ``OnlineSKIRegression`` routes to the rank-capped core when
+``low_rank=`` is passed or the grid exceeds the dense limit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_gp_tpu.api import OnlineSKIRegression
+from online_gp_tpu.api.lowrank_regression import OnlineSKILowRankRegression
+from online_gp_tpu.api.regression import DENSE_GRID_LIMIT
+from online_gp_tpu.api.stems import IdentityStem
+
+
+def _data(n, key=0, d=1):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    x = jax.random.uniform(k1, (n, d), minval=-1, maxval=1)
+    y = jnp.sin(4 * x[:, :1]) + 0.1 * jax.random.normal(k2, (n, 1))
+    return np.asarray(x), np.asarray(y)
+
+
+def test_explicit_low_rank_routes():
+    x, y = _data(64)
+    w = OnlineSKIRegression(IdentityStem(1), x, y, grid_size=64, low_rank=32)
+    assert isinstance(w, OnlineSKILowRankRegression)
+    assert w.model.rank == 32
+
+
+def test_big_grid_auto_routes():
+    x, y = _data(64)
+    w = OnlineSKIRegression(IdentityStem(1), x, y, grid_size=DENSE_GRID_LIMIT + 1)
+    assert isinstance(w, OnlineSKILowRankRegression)
+
+
+def test_small_grid_stays_dense():
+    x, y = _data(64)
+    w = OnlineSKIRegression(IdentityStem(1), x, y, grid_size=16)
+    assert type(w) is OnlineSKIRegression
+
+
+def test_m8192_stream_sane_nll():
+    """1-D m=8192 stream through the L5 API: per-step hyper fitting plus
+    conditioning must leave a finite, sane NLL (the round-1 sigma^2
+    collapse produced NLLs in the tens)."""
+    x, y = _data(128, key=1)
+    # rank 128 keeps the CPU-CI cost sane; the regime (m >> rank, Toeplitz
+    # MVMs, append+compress streaming) is the same as rank 512
+    w = OnlineSKIRegression(IdentityStem(1), x, y, grid_size=8192, lr=0.05, low_rank=128)
+    assert isinstance(w, OnlineSKILowRankRegression)
+    w.fit(x, y, num_epochs=30)
+    xs, ys = _data(100, key=2)
+    for i in range(100):
+        w.update(xs[i : i + 1], ys[i : i + 1])
+    xt, yt = _data(128, key=3)
+    rmse, nll = w.evaluate(xt, yt)
+    assert np.isfinite(rmse) and np.isfinite(nll)
+    assert rmse < 0.5, f"rmse {rmse}"
+    assert nll < 2.0, f"online NLL insane: {nll}"
