@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from online_gp_tpu.data.formats import read_libsvm
 from online_gp_tpu.data.preprocessing import minmax_scale, train_test_split, balance_classes
 
 
@@ -28,30 +29,17 @@ def _synthetic_classes(input_dim: int, n: int, seed: int, sep: float = 1.2):
     return x.astype(np.float32), y
 
 
-def _load_libsvm(path: str, input_dim: int):
-    xs, ys = [], []
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if not parts:
-                continue
-            ys.append(max(int(float(parts[0])), 0))
-            row = np.zeros(input_dim, np.float32)
-            for kv in parts[1:]:
-                k, v = kv.split(":")
-                row[int(k) - 1] = float(v)
-            xs.append(row)
-    return np.stack(xs), np.asarray(ys, np.int64)
-
-
 def svmguide1_dataset(data_dir: Optional[str] = None, seed: int = 0, balance: bool = True):
-    """4-feature binary benchmark (reference svm_guide_1.py)."""
+    """4-feature binary benchmark (reference svm_guide_1.py; its loader
+    reads ``train.libsvm`` from the dataset dir)."""
     x = y = None
     if data_dir:
-        for name in ("svmguide1", "svmguide1.t"):
-            path = os.path.join(data_dir, name)
-            if os.path.exists(path):
-                x, y = _load_libsvm(path, 4)
+        for name in ("svmguide1", "svmguide1.t", "train.libsvm"):
+            for path in (os.path.join(data_dir, name), os.path.join(data_dir, "svmguide1", name)):
+                if os.path.exists(path):
+                    x, y = read_libsvm(path, num_features=4)
+                    break
+            if x is not None:
                 break
     synthetic = x is None
     if synthetic:
