@@ -4,9 +4,12 @@ The reference downloads the classic banana benchmark at test time from the
 ``streaming_sparse_gp`` repo (``online_gp/datasets/classification/banana.py``);
 this environment is network-free, so an equivalent-difficulty banana-shaped
 two-class problem is generated deterministically: two interleaved crescent
-clusters with overlap noise, inputs scaled to [-1, 1]. Bayes error is a few
-percent, matching the published dataset's regime (test accuracies in the
-high .80s for a good nonparametric classifier).
+clusters with overlap noise, inputs scaled to [-1, 1]. The default noise
+(0.45) is calibrated so a 15-NN oracle scores ~0.91 on the test split —
+the published dataset's regime (test accuracies high .80s/low .90s for a
+good nonparametric classifier), so the reference's >= 0.85 batch and
+>= 0.75 online thresholds (``tests/classification/test_ski_classifier.py:33,94``)
+actually discriminate.
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ import numpy as np
 from online_gp_tpu.data.preprocessing import minmax_scale, train_test_split
 
 
-def banana_dataset(n: int = 2000, noise: float = 0.22, seed: int = 0):
+def banana_dataset(n: int = 2000, noise: float = 0.45, seed: int = 0):
     rng = np.random.default_rng(seed)
     n_half = n // 2
     # two crescents, rotated and offset so they interlock

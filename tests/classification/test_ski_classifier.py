@@ -21,7 +21,11 @@ def test_batch_eye_stem(banana):
     tr_x, tr_y, te_x, te_y = banana
     clf = OnlineSKIClassifier(IdentityStem(2), tr_x[:100], tr_y[:100], alpha_eps=0.01, lr=0.05, grid_size=16, grid_bound=1.0)
     clf.fit(tr_x, tr_y, num_epochs=50)
-    assert clf.evaluate(te_x, te_y) >= 0.85
+    acc = clf.evaluate(te_x, te_y)
+    assert acc >= 0.85
+    # the generator is calibrated to the published banana's difficulty:
+    # near-1.0 accuracy would mean the >=0.85 threshold tests nothing
+    assert acc <= 0.97, f"banana too easy ({acc}); reference thresholds wouldn't discriminate"
 
 
 def test_batch_linear_stem(banana):
