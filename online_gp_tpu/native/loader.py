@@ -71,20 +71,28 @@ def native_available() -> bool:
 
 
 def fast_csv_read(path: str, skip_header: int = 1) -> np.ndarray:
-    """Parse a numeric CSV to a float32 array (native when possible)."""
+    """Parse a numeric CSV to a float32 array (native when possible).
+
+    Lines longer than the native parser's 1 MiB buffer make it return a
+    distinct rc (3); those files fall back to numpy rather than being
+    silently mis-parsed.
+    """
     lib = _lib()
     if lib is None:
         return np.loadtxt(path, delimiter=",", skiprows=skip_header, dtype=np.float32)
     rows = ctypes.c_int64()
     cols = ctypes.c_int64()
-    if lib.csv_dims(path.encode(), skip_header, ctypes.byref(rows), ctypes.byref(cols)) != 0:
+    rc = lib.csv_dims(path.encode(), skip_header, ctypes.byref(rows), ctypes.byref(cols))
+    if rc == 1:
         raise FileNotFoundError(path)
-    out = np.empty((rows.value, cols.value), np.float32)
-    rc = lib.csv_read(path.encode(), skip_header,
-                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows.value, cols.value)
-    if rc != 0:
-        raise IOError(f"csv_read failed on {path} (rc={rc})")
-    return out
+    if rc == 0:
+        out = np.empty((rows.value, cols.value), np.float32)
+        rc = lib.csv_read(path.encode(), skip_header,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows.value, cols.value)
+        if rc == 0:
+            return out
+    # over-long line or short read: numpy is slower but always correct
+    return np.loadtxt(path, delimiter=",", skiprows=skip_header, dtype=np.float32)
 
 
 class BatchStream:
@@ -95,7 +103,11 @@ class BatchStream:
     """
 
     def __init__(self, *arrays: np.ndarray, batch_size: int, shuffle: bool = True, seed: int = 0):
-        self.arrays = [np.ascontiguousarray(a, np.float32) for a in arrays]
+        # dtypes are preserved: the native memcpy gather is used only for
+        # arrays that are already float32; everything else (float64 data,
+        # integer labels) is gathered by numpy fancy indexing on the
+        # original array
+        self.arrays = [np.ascontiguousarray(a) for a in arrays]
         n = len(self.arrays[0])
         assert all(len(a) == n for a in self.arrays)
         self.n = n
@@ -118,14 +130,17 @@ class BatchStream:
             )
             outs = []
             for a in self.arrays:
-                out = np.empty((bs,) + a.shape[1:], np.float32)
-                cols = int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
-                self._lib.gather_rows(
-                    a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    self._idx_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    bs, cols, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                )
-                outs.append(out)
+                if a.dtype == np.float32:
+                    out = np.empty((bs,) + a.shape[1:], np.float32)
+                    cols = int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
+                    self._lib.gather_rows(
+                        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        self._idx_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        bs, cols, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    )
+                    outs.append(out)
+                else:
+                    outs.append(a[self._idx_buf])
             return tuple(outs)
         idx = []
         for _ in range(bs):

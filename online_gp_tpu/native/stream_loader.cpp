@@ -21,8 +21,18 @@ extern "C" {
 
 // ---------------------------------------------------------------- CSV parse
 
+// fgets fills at most size-1 chars; a chunk that fills the buffer without
+// a trailing newline (and isn't the final EOF-terminated line) means the
+// CSV row is longer than the buffer. Parsing such a row chunk-wise would
+// silently miscount rows / split numbers, so callers bail with rc=3 and
+// the Python wrapper falls back to numpy.
+static int line_truncated(const char* buf, size_t cap, FILE* f) {
+  size_t len = std::strlen(buf);
+  return len == cap - 1 && buf[len - 1] != '\n' && !std::feof(f);
+}
+
 // Counts rows/cols of a numeric CSV (optionally skipping a header).
-// Returns 0 on success.
+// Returns 0 on success, 3 if any line exceeds the parse buffer.
 int csv_dims(const char* path, int skip_header, int64_t* rows, int64_t* cols) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
@@ -31,6 +41,7 @@ int csv_dims(const char* path, int skip_header, int64_t* rows, int64_t* cols) {
   bool first_data_line = true;
   int skipped = 0;
   while (std::fgets(buf.data(), (int)buf.size(), f)) {
+    if (line_truncated(buf.data(), buf.size(), f)) { std::fclose(f); return 3; }
     if (skipped < skip_header) { skipped++; continue; }
     bool blank = true;
     for (char* p = buf.data(); *p; ++p)
@@ -58,6 +69,7 @@ int csv_read(const char* path, int skip_header, float* out, int64_t rows, int64_
   int skipped = 0;
   int64_t r = 0;
   while (std::fgets(buf.data(), (int)buf.size(), f) && r < rows) {
+    if (line_truncated(buf.data(), buf.size(), f)) { std::fclose(f); return 3; }
     if (skipped < skip_header) { skipped++; continue; }
     char* p = buf.data();
     bool blank = true;

@@ -8,44 +8,29 @@ dict *is* the checkpoint object (reference constructor path
 ``kernel_cache`` + hypers), and every model family's state is already an
 immutable pytree — so checkpointing is a structured array dump.
 
-Uses orbax-checkpoint when importable, falling back to a self-contained
-``.npz`` + structure-JSON format with the same API.
+Format: ``.npz`` array payload plus a **self-describing structure JSON**
+(dict/list/tuple/NamedTuple/None nodes encoded recursively, NamedTuple
+classes by import path). Restore therefore needs no exemplar — a
+checkpoint saved with optional components (e.g. SGPR ``moments``) loads
+into a fresh wrapper whose attribute is still ``None`` — and when an
+exemplar IS supplied its treedef is validated against the saved one, so a
+structurally different exemplar fails loudly instead of silently
+assigning arrays to the wrong fields.
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
-from typing import Any, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
 
 
-def save_pytree(path: str, tree: Any) -> None:
-    """Save an arbitrary pytree of arrays/scalars to ``path`` (.npz)."""
-    leaves, treedef = jax.tree.flatten(tree)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
-    with open(_structure_path(path), "w") as f:
-        json.dump({"treedef": str(treedef), "num_leaves": len(leaves)}, f)
-
-
-def load_pytree(path: str, like: Any) -> Any:
-    """Load arrays saved by :func:`save_pytree` into the structure of
-    ``like`` (an exemplar pytree with the same treedef)."""
-    npz = np.load(path if path.endswith(".npz") else path + ".npz")
-    leaves = [npz[f"leaf_{i}"] for i in range(len(npz.files))]
-    like_leaves, treedef = jax.tree.flatten(like)
-    if len(leaves) != len(like_leaves):
-        raise ValueError(
-            f"checkpoint has {len(leaves)} leaves but exemplar has {len(like_leaves)}"
-        )
-    import jax.numpy as jnp
-
-    leaves = [jnp.asarray(l) for l in leaves]
-    return jax.tree.unflatten(treedef, leaves)
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def _structure_path(path: str) -> str:
@@ -53,42 +38,130 @@ def _structure_path(path: str) -> str:
     return base + ".structure.json"
 
 
+# ---------------------------------------------------------------------------
+# self-describing structure encoding
+# ---------------------------------------------------------------------------
+
+
+def _encode(node: Any, leaves: List[Any]) -> Dict:
+    if node is None:
+        return {"kind": "none"}
+    if isinstance(node, dict):
+        return {"kind": "dict", "items": {str(k): _encode(v, leaves) for k, v in node.items()}}
+    if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+        return {
+            "kind": "namedtuple",
+            "cls": f"{type(node).__module__}:{type(node).__qualname__}",
+            "fields": {f: _encode(getattr(node, f), leaves) for f in node._fields},
+        }
+    if isinstance(node, (list, tuple)):
+        return {
+            "kind": "list" if isinstance(node, list) else "tuple",
+            "items": [_encode(v, leaves) for v in node],
+        }
+    leaves.append(node)
+    return {"kind": "leaf", "index": len(leaves) - 1}
+
+
+def _decode(spec: Dict, leaves: List[Any]) -> Any:
+    kind = spec["kind"]
+    if kind == "none":
+        return None
+    if kind == "dict":
+        return {k: _decode(v, leaves) for k, v in spec["items"].items()}
+    if kind == "namedtuple":
+        mod, qual = spec["cls"].split(":")
+        cls = importlib.import_module(mod)
+        for part in qual.split("."):
+            cls = getattr(cls, part)
+        return cls(**{f: _decode(v, leaves) for f, v in spec["fields"].items()})
+    if kind == "list":
+        return [_decode(v, leaves) for v in spec["items"]]
+    if kind == "tuple":
+        return tuple(_decode(v, leaves) for v in spec["items"])
+    if kind == "leaf":
+        return leaves[spec["index"]]
+    raise ValueError(f"unknown checkpoint node kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save an arbitrary pytree of arrays/scalars to ``path`` (.npz +
+    structure JSON)."""
+    leaves: List[Any] = []
+    encoding = _encode(tree, leaves)
+    treedef = jax.tree.flatten(tree)[1]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    np.savez(_npz_path(path), **arrays)
+    with open(_structure_path(path), "w") as f:
+        json.dump(
+            {"treedef": str(treedef), "num_leaves": len(leaves), "encoding": encoding}, f
+        )
+
+
+def load_pytree(path: str, like: Optional[Any] = None) -> Any:
+    """Load a pytree saved by :func:`save_pytree`.
+
+    Without ``like`` the saved structure JSON reconstructs the tree
+    (including NamedTuple node types). With ``like`` the exemplar's
+    treedef must match the saved one — a mismatch raises instead of
+    silently assigning leaves by index to the wrong fields.
+    """
+    import jax.numpy as jnp
+
+    npz = np.load(_npz_path(path))
+    leaves = [jnp.asarray(npz[f"leaf_{i}"]) for i in range(len(npz.files))]
+    structure = None
+    if os.path.exists(_structure_path(path)):
+        with open(_structure_path(path)) as f:
+            structure = json.load(f)
+
+    if like is not None:
+        like_leaves, treedef = jax.tree.flatten(like)
+        if structure is not None and structure.get("treedef") not in (None, str(treedef)):
+            raise ValueError(
+                "checkpoint structure mismatch:\n"
+                f"  saved:    {structure['treedef']}\n"
+                f"  exemplar: {treedef}"
+            )
+        if len(leaves) != len(like_leaves):
+            raise ValueError(
+                f"checkpoint has {len(leaves)} leaves but exemplar has {len(like_leaves)}"
+            )
+        return jax.tree.unflatten(treedef, leaves)
+
+    if structure is None or "encoding" not in structure:
+        raise ValueError(
+            f"{path}: no self-describing structure JSON; pass an exemplar via like="
+        )
+    return _decode(structure["encoding"], leaves)
+
+
+_WRAPPER_KEYS = ("params", "stem_params", "stem_state", "state", "moments", "old")
+
+
 def save_wrapper(path: str, wrapper) -> None:
-    """Checkpoint a task wrapper (params + state + stem params/state)."""
-    blob = {
-        "params": wrapper.params,
-        "stem_params": wrapper.stem_params,
-        "stem_state": wrapper.stem_state,
-    }
-    if hasattr(wrapper, "state"):
-        blob["state"] = wrapper.state
-    if getattr(wrapper, "moments", None) is not None:
-        blob["moments"] = wrapper.moments
-    if getattr(wrapper, "old", None) is not None:
-        blob["old"] = wrapper.old
+    """Checkpoint a task wrapper (params + state + stem params/state and
+    any optional components the wrapper carries)."""
+    blob = {}
+    for key in _WRAPPER_KEYS:
+        if hasattr(wrapper, key) and getattr(wrapper, key) is not None:
+            blob[key] = getattr(wrapper, key)
     save_pytree(path, blob)
 
 
 def load_wrapper(path: str, wrapper) -> None:
-    """Restore a checkpoint saved by :func:`save_wrapper` in place."""
-    blob = {
-        "params": wrapper.params,
-        "stem_params": wrapper.stem_params,
-        "stem_state": wrapper.stem_state,
-    }
-    if hasattr(wrapper, "state"):
-        blob["state"] = wrapper.state
-    if getattr(wrapper, "moments", None) is not None:
-        blob["moments"] = wrapper.moments
-    if getattr(wrapper, "old", None) is not None:
-        blob["old"] = wrapper.old
-    restored = load_pytree(path, blob)
-    wrapper.params = restored["params"]
-    wrapper.stem_params = restored["stem_params"]
-    wrapper.stem_state = restored["stem_state"]
-    if "state" in restored:
-        wrapper.state = restored["state"]
-    if "moments" in restored:
-        wrapper.moments = restored["moments"]
-    if "old" in restored:
-        wrapper.old = restored["old"]
+    """Restore a checkpoint saved by :func:`save_wrapper` in place.
+
+    The component set comes from the SAVED structure, not the destination
+    wrapper — a checkpoint saved with ``moments`` restores into a fresh
+    wrapper whose ``moments`` is still ``None``.
+    """
+    restored = load_pytree(path)
+    for key, value in restored.items():
+        setattr(wrapper, key, value)

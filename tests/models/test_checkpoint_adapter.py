@@ -39,6 +39,58 @@ def test_pytree_checkpoint_mismatch_raises(tmp_path):
         pass
 
 
+def test_same_leaf_count_different_structure_raises(tmp_path):
+    """Index-based restore into a same-leaf-count exemplar with different
+    field layout must fail loudly, not scramble fields."""
+    path = str(tmp_path / "t")
+    save_pytree(path, {"a": jnp.ones(3), "b": jnp.zeros(2)})
+    try:
+        load_pytree(path, {"a": jnp.ones(3), "c": jnp.zeros(2)})
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "structure mismatch" in str(e)
+
+
+def test_exemplar_free_restore_rebuilds_namedtuples(tmp_path):
+    """The structure JSON is self-describing: NamedTuple node types are
+    reconstructed without an exemplar."""
+    from online_gp_tpu.models.sgpr import SGPRMoments
+
+    path = str(tmp_path / "t")
+    blob = {
+        "moments": SGPRMoments(var_mean=jnp.arange(4.0), var_chol=jnp.eye(4)),
+        "extras": [jnp.ones(2), None, (jnp.zeros(1),)],
+    }
+    save_pytree(path, blob)
+    restored = load_pytree(path)
+    assert isinstance(restored["moments"], SGPRMoments)
+    np.testing.assert_allclose(restored["moments"].var_mean, np.arange(4.0))
+    assert restored["extras"][1] is None
+    assert isinstance(restored["extras"][2], tuple)
+
+
+def test_optional_component_restores_into_fresh_wrapper(tmp_path):
+    """A checkpoint saved WITH sgpr moments/old must load into a fresh
+    wrapper whose moments/old are still None (ADVICE round 1)."""
+    from online_gp_tpu.api.sgpr_regression import OnlineSGPRegression
+
+    tx, ty, ex, ey = sin_cos_dataset(n=200)
+    ty1, ey1 = ty[:, :1], ey[:, :1]
+    w = OnlineSGPRegression(IdentityStem(2), tx[:64], ty1[:64], num_inducing=16)
+    w.fit(tx[:64], ty1[:64], num_epochs=5)
+    assert w.moments is not None and w.old is not None
+    path = str(tmp_path / "sgpr")
+    save_wrapper(path, w)
+
+    fresh = OnlineSGPRegression(IdentityStem(2), tx[:64], ty1[:64], num_inducing=16)
+    assert fresh.moments is None
+    load_wrapper(path, fresh)
+    assert fresh.moments is not None and fresh.old is not None
+    r0 = w.evaluate(ex, ey1)
+    r1 = fresh.evaluate(ex, ey1)
+    assert abs(r0[0] - r1[0]) < 1e-7
+
+
 def test_adapter_posterior_fantasize_condition():
     r, (tx, ty, ex, ey) = _fitted()
     adapter = WiskiBayesOptModel(r.model, r.params, r.state)

@@ -22,3 +22,28 @@ def test_batch_stream_covers_epoch():
         (xb,) = bs.next()
         seen.extend(xb[:, 0].tolist())
     assert sorted(seen) == list(map(float, range(100)))
+
+
+def test_csv_long_line_falls_back_correctly():
+    """A row longer than the native 1 MiB parse buffer must yield the same
+    (correct) result as numpy, not silently mis-parsed garbage."""
+    cols = 100_000  # ~1.3 MB per line as text
+    rng = np.random.default_rng(2)
+    arr = np.round(rng.standard_normal((3, cols)), 4).astype(np.float32)
+    path = tempfile.mktemp(suffix=".csv")
+    np.savetxt(path, arr, delimiter=",", header="h")
+    got = fast_csv_read(path, skip_header=1)
+    assert got.shape == (3, cols)
+    np.testing.assert_allclose(got, arr, atol=1e-5)
+    os.remove(path)
+
+
+def test_batch_stream_preserves_dtypes():
+    """float64 features keep precision; integer labels stay integers."""
+    x = np.random.default_rng(3).standard_normal((40, 3))  # float64
+    y = np.arange(40, dtype=np.int64)
+    bs = BatchStream(x, y, batch_size=10, shuffle=False, seed=0)
+    xb, yb = bs.next()
+    assert xb.dtype == np.float64 and yb.dtype == np.int64
+    np.testing.assert_array_equal(yb, np.arange(10))
+    np.testing.assert_allclose(xb, x[:10], rtol=0)
