@@ -24,7 +24,13 @@ TARGET = 10_000.0
 def main():
     from online_gp_tpu.kernels import RBFKernel
     from online_gp_tpu.ops import Grid
-    from online_gp_tpu.models.wiski import WiskiModel, wiski_init, wiski_condition
+    from online_gp_tpu.ops.interp import interp_coeffs
+    from online_gp_tpu.models.wiski import (
+        WiskiModel,
+        wiski_init,
+        wiski_condition_coeffs,
+        wiski_slim,
+    )
 
     d, grid_size = 2, 30
     grid = Grid.create([(-1.1, 1.1)] * d, grid_size)
@@ -34,9 +40,13 @@ def main():
     kx, ky, ks = jax.random.split(key, 3)
     x0 = jax.random.uniform(kx, (256, d), minval=-1, maxval=1)
     y0 = jnp.sin(3 * x0[:, :1])
-    state = wiski_init(model, x0, y0, jnp.ones_like(y0))
+    # slim streaming state: the hot rank-1 update touches only the two
+    # maintained roots (4 m^2 HBM floats/update); periodic refreshes
+    # re-anchor to L L^T (OnlineSKIRegression(slim_state=True) production
+    # configuration).
+    state = wiski_slim(wiski_init(model, x0, y0, jnp.ones_like(y0)))
 
-    n_stream = 2048
+    n_stream = 8192
     xs = jax.random.uniform(ky, (n_stream, 1, d), minval=-1, maxval=1)
     ys = jnp.sin(3 * xs[..., :1])[..., 0, :]
     ys = ys[:, None, :]
@@ -44,11 +54,19 @@ def main():
 
     @jax.jit
     def stream(state, xs, ys, ns):
-        def step(s, inp):
-            xi, yi, ni = inp
-            return wiski_condition(model, s, xi, yi, ni), 0.0
+        # The per-point stencil math is embarrassingly parallel: one
+        # vectorized call over the whole stream, then scan only the
+        # sequential O(m^2) conditioning (see wiski_condition_coeffs).
+        idxs, ws = interp_coeffs(model.grid, xs[:, 0, :], detach=True)
 
-        s, _ = jax.lax.scan(step, state, (xs, ys, ns))
+        def step(s, inp):
+            ii, wi, yi, ni = inp
+            return (
+                wiski_condition_coeffs(model, s, ii[None], wi[None], yi, ni),
+                0.0,
+            )
+
+        s, _ = jax.lax.scan(step, state, (idxs, ws, ys, ns))
         return s
 
     # Correctness gate before timing: the scanned stream (Pallas fused
@@ -82,13 +100,13 @@ def main():
 
     # compile + warmup
     out = stream(state, xs, ys, ns)
-    jax.block_until_ready(out.roots.mat)
+    jax.block_until_ready(out.roots.root)
 
     reps, best = 3, 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         out = stream(state, xs, ys, ns)
-        jax.block_until_ready(out.roots.mat)
+        jax.block_until_ready(out.roots.root)
         dt = time.perf_counter() - t0
         best = max(best, n_stream / dt)
 

@@ -40,6 +40,7 @@ from online_gp_tpu.models.wiski import (
     wiski_condition,
     wiski_mll,
     wiski_predict,
+    wiski_slim,
 )
 from online_gp_tpu.models.partial_mll import sm_partial_mll
 from online_gp_tpu.api.stems import Stem
@@ -77,6 +78,7 @@ class OnlineSKIRegression:
         seed: int = 0,
         refresh_roots_every: int = 0,
         low_rank: Optional[int] = None,
+        slim_state: bool = False,
         **unused,
     ):
         if cls is OnlineSKIRegression and stem is not None:
@@ -114,6 +116,7 @@ class OnlineSKIRegression:
         seed: int = 0,
         refresh_roots_every: int = 0,
         low_rank: Optional[int] = None,
+        slim_state: bool = False,
         **unused,
     ):
         init_x = jnp.asarray(init_x)
@@ -145,7 +148,16 @@ class OnlineSKIRegression:
             kernel, grid, num_outputs=self.target_dim, learn_additional_noise=True
         )
         self.params = self.model.init_params(stem.output_dim)
-        self._init_fn = jax.jit(lambda f, t, n: wiski_init(self.model, f, t, n))
+        # slim_state drops the Gram accumulator from the streaming state
+        # (4 m^2 instead of 6 m^2 HBM floats per online update); periodic
+        # refreshes then re-anchor to L L^T (see wiski_slim docstring).
+        self.slim_state = slim_state
+        if slim_state:
+            self._init_fn = jax.jit(
+                lambda f, t, n: wiski_slim(wiski_init(self.model, f, t, n))
+            )
+        else:
+            self._init_fn = jax.jit(lambda f, t, n: wiski_init(self.model, f, t, n))
         noise = jnp.ones_like(init_y)
         self.state = self._init_fn(feats, init_y, noise)
 

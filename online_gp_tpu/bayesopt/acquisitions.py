@@ -50,13 +50,30 @@ def q_expected_improvement(
 
 def q_upper_confidence_bound(
     model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
-    beta: float, cfg: SolverConfig = DEFAULT_CONFIG,
+    beta: float, key=None, num_samples: int = 256,
+    cfg: SolverConfig = DEFAULT_CONFIG,
 ) -> jnp.ndarray:
-    """qUCB(X) = E[max_j (mu_j + sqrt(beta*pi/2)|z_j|)] — closed-ish MC-free
-    upper bound using the marginal stds (exact for q=1)."""
-    mean, var = wiski_predict(model, params, state, x, cfg)
-    ucb = mean[0] + jnp.sqrt(beta * jnp.maximum(var[0], 1e-12))
-    return jnp.max(ucb)
+    """qUCB(X) = E[max_j (mu_j + sqrt(beta*pi/2) |f_j - mu_j|)] — botorch's
+    MC q-batch form (``qUpperConfidenceBound``; the reference builds it at
+    ``experiments/bayesopt/utils.py:81``) over *joint* posterior samples,
+    so candidate correlations are priced in for q > 1.
+
+    At q = 1 the analytic form mu + sqrt(beta)*sigma is returned (the MC
+    estimator's exact expectation, since E|z| = sqrt(2/pi)); this keeps the
+    single-candidate path deterministic and sampler-free.
+    """
+    q = x.shape[0]
+    if q == 1:
+        mean, var = wiski_predict(model, params, state, x, cfg)
+        return jnp.max(mean[0] + jnp.sqrt(beta * jnp.maximum(var[0], 1e-12)))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mean, root = wiski_predict_root(model, params, state, x, cfg)  # (B,q),(B,q,k)
+    eps = jax.random.normal(key, (num_samples, root.shape[-1]), mean.dtype)
+    dev = eps @ root[0].T  # (S, q) zero-mean joint deviations
+    beta_prime = jnp.sqrt(beta * jnp.pi / 2.0)
+    ucb = mean[0][None, :] + beta_prime * jnp.abs(dev)
+    return jnp.mean(jnp.max(ucb, axis=-1))
 
 
 def q_noisy_expected_improvement(
@@ -76,13 +93,26 @@ def q_knowledge_gradient(
     model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
     x_discrete: jnp.ndarray, current_best: jnp.ndarray, key,
     num_fantasies: int = 16, cfg: SolverConfig = DEFAULT_CONFIG,
+    lookahead_steps: int = 20, lookahead_lr: float = 0.05,
 ) -> jnp.ndarray:
-    """One-step lookahead over a discrete candidate grid: sample fantasy
-    observations at X, condition the caches (O(m^2) per fantasy), and
-    average the resulting max posterior mean gain."""
+    """One-step lookahead KG: sample fantasy observations at X, condition
+    the caches (O(m^2) per fantasy), and average the max posterior mean
+    gain. The inner maximization seeds from the best discrete candidate
+    and then runs ``lookahead_steps`` of projected gradient ascent on the
+    fantasy posterior mean — optimized lookahead like botorch's
+    ``qKnowledgeGradient`` (reference ``experiments/bayesopt/utils.py:88-93``),
+    not a fixed-grid max. Set ``lookahead_steps=0`` for the grid-only form.
+
+    Outer gradients (w.r.t. X) stay exact: by the envelope theorem the
+    sensitivity of the inner max to its argmax location vanishes at the
+    optimum, so the optimized location is wrapped in stop_gradient and the
+    X-gradient flows purely through the fantasy-conditioned caches."""
     mean, root = wiski_predict_root(model, params, state, x, cfg)
     eps = jax.random.normal(key, (num_fantasies, root.shape[-1]), mean.dtype)
     fant_y = mean[0][None, :] + eps @ root[0].T  # (F, q)
+    cfg_mean = cfg.replace(skip_posterior_variances=True)
+    lo = jnp.min(x_discrete, axis=0)
+    hi = jnp.max(x_discrete, axis=0)
 
     def one_fantasy(yf):
         noise = jnp.ones((x.shape[0], model.num_outputs), x.dtype)
@@ -92,7 +122,29 @@ def q_knowledge_gradient(
         # — same reasoning as qNIPV. Also keeps this vmapped call off the
         # non-differentiable Pallas path.
         st = wiski_condition(model, state, x, yf[:, None], noise, detach_interp=False)
-        m, _ = wiski_predict(model, params, st, x_discrete, cfg.replace(skip_posterior_variances=True))
+        m, _ = wiski_predict(model, params, st, x_discrete, cfg_mean)
+        x0 = x_discrete[jnp.argmax(m[0])]
+
+        if lookahead_steps > 0:
+            # inner ascent on the fantasy mean; the fantasy state is
+            # detached here (envelope theorem: only the *location* is
+            # being optimized) and re-attached for the final value.
+            st_sg = jax.tree.map(
+                lambda a: None if a is None else jax.lax.stop_gradient(a), st
+            )
+
+            def mean_at(xx, s):
+                mm, _ = wiski_predict(model, params, s, xx[None], cfg_mean)
+                return mm[0, 0]
+
+            def ascend(_, xx):
+                g = jax.grad(mean_at)(xx, st_sg)
+                return jnp.clip(xx + lookahead_lr * g, lo, hi)
+
+            x_star = jax.lax.fori_loop(0, lookahead_steps, ascend, x0)
+            x_star = jax.lax.stop_gradient(x_star)
+            # never move below the discrete seed's value
+            return jnp.maximum(mean_at(x_star, st), jnp.max(m[0]))
         return jnp.max(m[0])
 
     vals = jax.vmap(one_fantasy)(fant_y)

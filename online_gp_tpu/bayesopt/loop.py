@@ -102,7 +102,7 @@ def run_bayesopt(
 
         if acqf == "ucb":
             beta = 0.9**step_i
-            fn_acq = lambda X: acq.q_upper_confidence_bound(model, params, state, X, beta, cfg)
+            fn_acq = lambda X: acq.q_upper_confidence_bound(model, params, state, X, beta, k_acq, 128, cfg)
         elif acqf == "ei":
             fn_acq = lambda X: acq.q_expected_improvement(model, params, state, X, best_f, k_acq, 128, cfg)
         elif acqf == "nei":
@@ -129,7 +129,7 @@ def run_bayesopt(
 
         t0 = time.time()
         state = wiski_condition(model, state, cand_u, y_std_new, jnp.ones_like(y_std_new))
-        jax.block_until_ready(state.roots.mat)
+        jax.block_until_ready(state.roots.root)
         t_cond = time.time() - t0
 
         train_u = jnp.concatenate([train_u, cand_u])

@@ -48,7 +48,13 @@ from online_gp_tpu.ops.cg import batched_cg, lanczos, lanczos_root, slq_logdet
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.ops.interp import interp_coeffs, dense_w, gather_predict, interp_matvec
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
-from online_gp_tpu.ops.root_update import RootCache, root_cache_init, root_cache_update
+from online_gp_tpu.ops.root_update import (
+    RootCache,
+    root_cache_init,
+    root_cache_rebuild_mat,
+    root_cache_slim,
+    root_cache_update,
+)
 
 LOG_2PI = 1.8378770664093453
 
@@ -158,28 +164,82 @@ def wiski_condition(
     ``_update_cache_dicts`` (reference lines 155-171, 258-273), including
     the noise clamp at 1e-7 before the root update (line 163).
     """
+    idx, w = interp_coeffs(model.grid, x, detach=detach_interp)
+    return wiski_condition_coeffs(model, state, idx, w, y, noise, detach_interp)
+
+
+def wiski_condition_coeffs(
+    model: WiskiModel,
+    state: WiskiState,
+    idx: jnp.ndarray,
+    w: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+    detach_interp: bool = True,
+) -> WiskiState:
+    """:func:`wiski_condition` given precomputed interpolation coefficients
+    (``idx``/``w``: (q, P) from :func:`interp_coeffs`).
+
+    Streaming callers should vectorize ``interp_coeffs`` over the whole
+    stream BEFORE the ``lax.scan`` and scan over (idx, w, y, noise): the
+    per-point stencil math is embarrassingly parallel, and leaving it
+    inside the scan body costs more per step than the fused O(m^2) root
+    update itself (many tiny sequential VPU ops vs one streaming kernel).
+    """
     B = model.num_outputs
     m = model.grid.num_points
     y, noise = _reshape_obs(y, noise, B)
-    q = x.shape[0]
-
-    idx, w = interp_coeffs(model.grid, x, detach=detach_interp)
-    w_cols = dense_w(idx, w, m)  # (m, q)
+    q = idx.shape[0]
 
     root_noise = jnp.sqrt(jnp.maximum(noise, 1e-7))  # (q, B)
-    v = w_cols[None, :, :] / root_noise.T[:, None, :]  # (B, m, q)
-    if detach_interp and B <= 8 and q == 1:
-        # fused Pallas kernel on the point-streaming hot path (~2.3x the
-        # XLA update; small class batches unroll); the differentiable path
-        # (fantasy acquisitions, detach_interp=False) stays on XLA.
-        from online_gp_tpu.ops.pallas_root_update import pallas_root_cache_update
-
-        roots = pallas_root_cache_update(state.roots, v)
-    else:
-        roots = root_cache_update(state.roots, v)
-
     dinv_y = y / noise  # (q, B)
-    wty = state.wty + jnp.einsum("mq,qb->bm", w_cols, dinv_y)[..., None]
+
+    if q == 1:
+        # Sparse-stencil fast path: the update vector v = W_x / sqrt(D) has
+        # only P = 4^D nonzeros, so p = B^T v is a P-row gather of the
+        # inverse root (O(P m) HBM traffic) and the Gram/wty updates are
+        # P-sized scatters — the O(m^2) work reduces to the two fused
+        # outer-product root updates (4 m^2 floats/update, one kernel).
+        idx0, w0 = idx[0], w[0]  # (P,)
+        rn0 = root_noise[0]  # (B,)
+        with jax.default_matmul_precision("float32"):
+            p = (
+                jnp.einsum("p,bpm->bm", w0, state.roots.inv_root[:, idx0, :])
+                / rn0[:, None]
+            )  # (B, m)
+        if detach_interp and B <= 8 and jax.default_backend() == "tpu":
+            # fused Pallas kernel on the point-streaming hot path (small
+            # class batches unroll); the differentiable path (fantasy
+            # acquisitions, detach_interp=False) stays on XLA.
+            from online_gp_tpu.ops.pallas_root_update import pallas_rank1_apply
+
+            outs = [
+                pallas_rank1_apply(state.roots.root[b], state.roots.inv_root[b], p[b])
+                for b in range(B)
+            ]
+            new_root = jnp.stack([o[0] for o in outs])
+            new_inv = jnp.stack([o[1] for o in outs])
+        else:
+            from online_gp_tpu.ops.root_update import roots_apply_rank1_p
+
+            new_root, new_inv = roots_apply_rank1_p(
+                state.roots.root, state.roots.inv_root, p
+            )
+        if state.roots.mat is None:
+            new_mat = None
+        else:
+            outer = (w0[:, None] * w0[None, :])[None] / jnp.maximum(
+                noise[0], 1e-7
+            )[:, None, None]  # (B, P, P)
+            new_mat = state.roots.mat.at[:, idx0[:, None], idx0[None, :]].add(outer)
+        roots = RootCache(mat=new_mat, root=new_root, inv_root=new_inv)
+        wty = state.wty.at[:, idx0, 0].add(w0[None, :] * dinv_y[0][:, None])
+    else:
+        w_cols = dense_w(idx, w, m)  # (m, q)
+        v = w_cols[None, :, :] / root_noise.T[:, None, :]  # (B, m, q)
+        roots = root_cache_update(state.roots, v)
+        wty = state.wty + jnp.einsum("mq,qb->bm", w_cols, dinv_y)[..., None]
+
     ydy = state.ydy + jnp.sum(y * dinv_y, axis=0)
     d_logdet = state.d_logdet + jnp.sum(jnp.log(noise), axis=0)
     return WiskiState(
@@ -191,29 +251,59 @@ def wiski_condition(
     )
 
 
+def wiski_slim(state: WiskiState) -> WiskiState:
+    """Opt into the slim streaming state: drop the exact Gram accumulator
+    so the per-update HBM traffic is 4 m^2 floats instead of 6 (the hot
+    rank-1 update then touches only the two maintained roots).
+
+    Trade-off: ``wiski_refresh_roots`` on a slim state re-anchors to
+    L L^T (exact algebraically, but carrying L's f32 drift) instead of the
+    add-only Gram accumulator. Bounded by the same periodic-refresh policy;
+    ``wiski_check_decomposition`` still validates B^T L = I."""
+    return state._replace(roots=root_cache_slim(state.roots))
+
+
+def wiski_unslim(state: WiskiState) -> WiskiState:
+    """Rebuild the Gram accumulator (A = L L^T) for a slim state."""
+    return state._replace(roots=root_cache_rebuild_mat(state.roots))
+
+
 def wiski_refresh_roots(state: WiskiState, jitter: float = 1e-4) -> WiskiState:
     """Recompute the maintained roots from the exact Gram accumulator.
 
     The reference's ``check_decomposition`` flag (``online_gp/settings.py``)
     hints at verifying/refreshing the incremental decomposition; on TPU
     (f32) a periodic refresh bounds root drift over very long streams.
+
+    Slim states (no accumulator) re-anchor to A = L L^T and stay slim.
     """
-    return state._replace(roots=root_cache_init(state.roots.mat, jitter=jitter))
+    slim = state.roots.mat is None
+    roots = root_cache_init(root_cache_rebuild_mat(state.roots).mat, jitter=jitter)
+    if slim:
+        roots = root_cache_slim(roots)
+    return state._replace(roots=roots)
 
 
 def wiski_check_decomposition(state: WiskiState) -> Dict[str, jnp.ndarray]:
     """Decomposition health: ||LL' - A||_inf / ||A||_inf and ||L B' - I||_inf
-    per output batch (diagnostic for the check_decomposition flag)."""
+    per output batch (diagnostic for the check_decomposition flag).
+
+    On slim states (no Gram accumulator) the reconstruction check has no
+    independent anchor, so only the root/inverse-root consistency
+    ``inverse_root_err`` is reported (recon err is 0 by construction)."""
     L, B, A = state.roots.root, state.roots.inv_root, state.roots.mat
     with jax.default_matmul_precision("float32"):
-        recon = jnp.einsum("bij,bkj->bik", L, L)
         ident = jnp.einsum("bij,bkj->bik", L, B)
     m = L.shape[-1]
     eye = jnp.eye(m, dtype=L.dtype)
+    inv_err = jnp.max(jnp.abs(ident - eye), axis=(-2, -1))
+    if A is None:
+        return {"inverse_root_err": inv_err}
+    with jax.default_matmul_precision("float32"):
+        recon = jnp.einsum("bij,bkj->bik", L, L)
     recon_err = jnp.max(jnp.abs(recon - A), axis=(-2, -1)) / jnp.maximum(
         jnp.max(jnp.abs(A), axis=(-2, -1)), 1e-12
     )
-    inv_err = jnp.max(jnp.abs(ident - eye), axis=(-2, -1))
     return {"root_recon_rel_err": recon_err, "inverse_root_err": inv_err}
 
 
@@ -549,6 +639,8 @@ def wiski_expand(state: WiskiState, num_fantasies: int) -> WiskiState:
     ``get_fantasy_model`` cache expansion, lines 287-316)."""
 
     def tile(a):
+        if a is None:
+            return None
         return jnp.broadcast_to(a[None], (num_fantasies,) + a.shape)
 
     return WiskiState(

@@ -67,6 +67,23 @@ def _update_kernel(p_ref, vfull_ref, l_ref, b_ref, a_ref, v_ref, lo_ref, bo_ref,
     ao_ref[:] = a_ref[:] + v_ref[:] * vfull_ref[:]
 
 
+def _update_kernel_slim(p_ref, l_ref, b_ref, lo_ref, bo_ref):
+    """Roots-only variant for slim caches (no Gram accumulator): 4 m^2
+    floats of HBM traffic per update instead of 6."""
+    p = p_ref[:]  # (1, m)
+    s2 = jnp.sum(p * p)
+    s = jnp.sqrt(s2)
+    inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+    u = p * inv_s
+    c = jnp.sqrt(s2 + 1.0) - 1.0
+    d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+
+    lu = jnp.sum(l_ref[:] * u, axis=1, keepdims=True)
+    bu = jnp.sum(b_ref[:] * u, axis=1, keepdims=True)
+    lo_ref[:] = l_ref[:] + (c * lu) * u
+    bo_ref[:] = b_ref[:] + (d * bu) * u
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def pallas_rank1_update(L, B, A, v, tile: int = 128, interpret: bool = False):
     """Fused rank-1 update of (L, B, A) with vector v.
@@ -119,12 +136,85 @@ def pallas_rank1_update(L, B, A, v, tile: int = 128, interpret: bool = False):
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_rank1_apply(L, B, p, tile: int = 128, interpret: bool = False):
+    """Apply the rank-1 root update given p = B^T v directly (one fused
+    kernel, 4 m^2 floats of HBM traffic): returns (L', B').
+
+    The caller computes p cheaply from the sparse SKI stencil (a 4^D-row
+    gather of B, O(P m) traffic) instead of the dense m^2 reduction pass —
+    see ``wiski_condition``'s q=1 hot path.
+    """
+    m = L.shape[-1]
+    grid = (pl.cdiv(m, tile),)
+    outs = pl.pallas_call(
+        _update_kernel_slim,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # p
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # L
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # B
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ],
+    )(p.reshape(1, m), L, B)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_rank1_update_slim(L, B, v, tile: int = 128, interpret: bool = False):
+    """Fused rank-1 update of the roots only (slim caches, no Gram
+    accumulator): returns (L', B')."""
+    m = L.shape[-1]
+    grid = (pl.cdiv(m, tile),)
+
+    p = pl.pallas_call(
+        functools.partial(_p_kernel, m=m, tile=tile),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+    )(B, v)
+
+    outs = pl.pallas_call(
+        _update_kernel_slim,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),  # p
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # L
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),  # B
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ],
+    )(p, L, B)
+    return outs
+
+
 def pallas_root_cache_update(
     cache: RootCache, v: jnp.ndarray, interpret: bool = False
 ) -> RootCache:
     """Drop-in for :func:`root_cache_update` on the q=1 hot path (small
     output batches unroll into per-output kernel calls); falls back to the
-    XLA path for other shapes or (unless ``interpret``) non-TPU backends."""
+    XLA path for other shapes or (unless ``interpret``) non-TPU backends.
+    Slim caches (``mat is None``) ride the roots-only kernel."""
     if (
         (jax.default_backend() != "tpu" and not interpret)
         or v.ndim != 3
@@ -132,6 +222,18 @@ def pallas_root_cache_update(
         or v.shape[-1] != 1
     ):
         return root_cache_update(cache, v)
+    if cache.mat is None:
+        outs = [
+            pallas_rank1_update_slim(
+                cache.root[b], cache.inv_root[b], v[b], interpret=interpret
+            )
+            for b in range(v.shape[0])
+        ]
+        return RootCache(
+            mat=None,
+            root=jnp.stack([o[0] for o in outs]),
+            inv_root=jnp.stack([o[1] for o in outs]),
+        )
     outs = [
         pallas_rank1_update(
             cache.root[b], cache.inv_root[b], cache.mat[b], v[b], interpret=interpret

@@ -27,7 +27,7 @@ The thin SVD of the m×q matrix p is computed from the q×q Gram eigh
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +39,17 @@ class RootCache(NamedTuple):
     """A = mat = root @ root^T with inv_root @ inv_root^T = A^{-1}.
 
     Pytree analog of the reference's ``UpdatedRootLazyTensor`` state
-    (tensor, root, inverse root)."""
+    (tensor, root, inverse root).
 
-    mat: jnp.ndarray  # (..., m, m)
+    ``mat`` may be ``None`` ("slim" mode, see :func:`root_cache_slim`):
+    the exact Gram accumulator is dropped from the streaming state and the
+    rank-q update touches only the two roots — 4 m^2 floats of HBM traffic
+    per update instead of 6. ``root @ root^T`` equals the accumulated A in
+    exact arithmetic (the update is exact algebra), so the accumulator can
+    be rebuilt on demand (:func:`root_cache_rebuild_mat`) at the cost of
+    losing A's lower f32 accumulation error as the refresh anchor."""
+
+    mat: Optional[jnp.ndarray]  # (..., m, m) or None (slim mode)
     root: jnp.ndarray  # (..., m, m)
     inv_root: jnp.ndarray  # (..., m, m)
 
@@ -58,6 +66,23 @@ def root_cache_init(mat: jnp.ndarray, jitter: float = 1e-4) -> RootCache:
     chol = psd_safe_cholesky(mat, jitter=jitter)
     inv_root = inv_lower_transpose(chol)
     return RootCache(mat=mat, root=chol, inv_root=inv_root)
+
+
+def root_cache_slim(cache: RootCache) -> RootCache:
+    """Drop the exact Gram accumulator from the streaming state (opt-in).
+
+    The rank-q update then reads/writes only (root, inv_root); see the
+    class docstring for the accuracy trade-off."""
+    return cache._replace(mat=None)
+
+
+def root_cache_rebuild_mat(cache: RootCache) -> RootCache:
+    """Rebuild A = root @ root^T for a slim cache (no-op when present)."""
+    if cache.mat is not None:
+        return cache
+    with jax.default_matmul_precision("float32"):
+        mat = jnp.einsum("...ik,...jk->...ij", cache.root, cache.root)
+    return cache._replace(mat=mat)
 
 
 def root_cache_update(cache: RootCache, v: jnp.ndarray) -> RootCache:
@@ -107,8 +132,41 @@ def _root_cache_update_impl(cache: RootCache, v: jnp.ndarray) -> RootCache:
     BU = jnp.einsum("...ij,...jq->...iq", B, U)
     new_root = L + jnp.einsum("...iq,...jq->...ij", LU * c[..., None, :], U)
     new_inv_root = B + jnp.einsum("...iq,...jq->...ij", BU * d[..., None, :], U)
-    new_mat = cache.mat + jnp.einsum("...iq,...jq->...ij", v, v)
+    if cache.mat is None:  # slim mode: no Gram accumulator in the hot state
+        new_mat = None
+    else:
+        new_mat = cache.mat + jnp.einsum("...iq,...jq->...ij", v, v)
     return RootCache(mat=new_mat, root=new_root, inv_root=new_inv_root)
+
+
+def roots_apply_rank1_p(L: jnp.ndarray, B: jnp.ndarray, p: jnp.ndarray):
+    """Rank-1 root update given p = B^T v directly.
+
+    The SKI update vector v is sparse (4^D stencil weights), so the caller
+    can form p with an O(P m) row gather of B instead of the dense m^2
+    reduction — this applies the remaining O(m^2) outer-product updates:
+
+        L' = L + c (L u) u^T,   B' = B + d (B u) u^T,
+        u = p/|p|, c = sqrt(|p|^2+1)-1, d = 1/sqrt(|p|^2+1)-1.
+
+    Args:
+      L, B: (..., m, m) root / inverse root; p: (..., m).
+
+    Returns (L', B').
+    """
+    with jax.default_matmul_precision("float32"):
+        s2 = jnp.sum(p * p, axis=-1, keepdims=True)  # (..., 1)
+        s = jnp.sqrt(s2)
+        safe_s = jnp.maximum(s, jnp.asarray(1e-20, p.dtype))
+        u = p / safe_s
+        valid = (s > 0).astype(p.dtype)
+        c = (jnp.sqrt(s2 + 1.0) - 1.0) * valid
+        d = (1.0 / jnp.sqrt(s2 + 1.0) - 1.0) * valid
+        Lu = jnp.einsum("...ij,...j->...i", L, u)
+        Bu = jnp.einsum("...ij,...j->...i", B, u)
+        new_L = L + (c * Lu)[..., :, None] * u[..., None, :]
+        new_B = B + (d * Bu)[..., :, None] * u[..., None, :]
+    return new_L, new_B
 
 
 def root_cache_expand(cache: RootCache, batch_shape) -> RootCache:
@@ -116,6 +174,8 @@ def root_cache_expand(cache: RootCache, batch_shape) -> RootCache:
     ``_expand_batch``, used for fantasy batching in q-acquisition;
     ``updated_root_lazy_tensor.py:139-159``)."""
     def expand(x):
+        if x is None:
+            return None
         return jnp.broadcast_to(x, tuple(batch_shape) + x.shape)
 
     return RootCache(*(expand(x) for x in cache))

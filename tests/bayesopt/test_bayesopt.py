@@ -95,3 +95,63 @@ def test_bayesopt_loop_improves():
                        grid_size=8, fit_iters=20, seed=0, verbose=False)
     assert out["best_per_step"][-1] >= out["best_per_step"][0]
     assert len(out["records"]) == 8
+
+
+def test_qucb_qbatch_mc_form(wiski_posterior):
+    """q>1 rides botorch's beta*pi/2 MC estimator over joint samples: its
+    q=1 specialization must agree with the analytic form in expectation,
+    and adding a candidate can only increase the batch value."""
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(4)
+    c1 = jnp.asarray([[0.2, -0.4]])
+    analytic = acq.q_upper_confidence_bound(model, params, state, c1, 4.0)
+    # MC path forced by q=2 with a duplicated candidate: max over two
+    # identical points == the single-point value, so MC ~= analytic.
+    c_dup = jnp.concatenate([c1, c1])
+    mc_dup = acq.q_upper_confidence_bound(
+        model, params, state, c_dup, 4.0, key, num_samples=4096
+    )
+    np.testing.assert_allclose(float(mc_dup), float(analytic), rtol=0.08)
+
+    # a genuinely different second candidate can only help the batch max
+    c2 = jnp.asarray([[0.2, -0.4], [-0.6, 0.7]])
+    mc2 = acq.q_upper_confidence_bound(model, params, state, c2, 4.0, key, num_samples=4096)
+    assert float(mc2) >= float(analytic) - 0.02  # within MC noise
+
+
+def test_qkg_optimized_lookahead_beats_grid(wiski_posterior):
+    """Gradient-refined lookahead must dominate the grid-only form (the
+    inner max is seeded at the discrete argmax and only moves uphill)."""
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(5)
+    # coarse grid on purpose: refinement has room to improve
+    disc = jax.random.uniform(key, (8, 2), minval=-1, maxval=1)
+    cand = jnp.asarray([[0.3, 0.3]])
+    kg_grid = acq.q_knowledge_gradient(
+        model, params, state, cand, disc, jnp.asarray(0.5), key,
+        num_fantasies=4, lookahead_steps=0,
+    )
+    kg_opt = acq.q_knowledge_gradient(
+        model, params, state, cand, disc, jnp.asarray(0.5), key,
+        num_fantasies=4, lookahead_steps=25,
+    )
+    assert np.isfinite(float(kg_opt))
+    assert float(kg_opt) >= float(kg_grid) - 1e-6
+    # and it stays differentiable w.r.t. the candidate
+    g = jax.grad(
+        lambda c: acq.q_knowledge_gradient(
+            model, params, state, c, disc, jnp.asarray(0.5), key,
+            num_fantasies=2, lookahead_steps=5,
+        )
+    )(cand)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_bayesopt_qbatch_improves():
+    """q=4 batch BO on Ackley-2d improves best-value (VERDICT item 9)."""
+    jax.config.update("jax_platforms", "cpu")
+    from online_gp_tpu.bayesopt.loop import run_bayesopt
+
+    out = run_bayesopt(function="Ackley", dim=2, acqf="ucb", num_steps=5, num_init=8,
+                       batch_size=4, grid_size=8, fit_iters=20, seed=1, verbose=False)
+    assert out["best_per_step"][-1] >= out["best_per_step"][0]

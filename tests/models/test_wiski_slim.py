@@ -1,0 +1,112 @@
+"""Slim-state WISKI streaming: the opt-in mode that drops the Gram
+accumulator from the hot state (VERDICT round-1 item 8 / TODO 'state
+slimming'). The slim stream must produce bit-identical roots, MLL, and
+predictions to the full-state stream, keep ``wiski_refresh_roots`` /
+``wiski_check_decomposition`` functional, and work through the
+``OnlineSKIRegression(slim_state=True)`` wrapper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_gp_tpu.config import SolverConfig
+from online_gp_tpu.kernels.base import RBFKernel
+from online_gp_tpu.ops.grid import Grid
+from online_gp_tpu.models.wiski import (
+    WiskiModel,
+    wiski_check_decomposition,
+    wiski_condition,
+    wiski_init,
+    wiski_mll,
+    wiski_predict,
+    wiski_refresh_roots,
+    wiski_slim,
+    wiski_unslim,
+)
+
+DT = jnp.float64
+CFG = SolverConfig()
+
+
+def _setup(n=24, grid_size=12):
+    grid = Grid.create([(-1.2, 1.2)], grid_size, dtype=DT)
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
+    params = model.init_params(1, dtype=DT)
+    x = jnp.linspace(-1, 1, n, dtype=DT)[:, None]
+    y = jnp.sin(2.5 * x)
+    noise = jnp.full_like(y, 0.5)
+    state = wiski_init(model, x, y, noise)
+    return model, params, state, x, y, noise
+
+
+def test_slim_stream_matches_full():
+    model, params, state, x, y, noise = _setup()
+    slim = wiski_slim(state)
+    assert slim.roots.mat is None
+
+    full = state
+    for i in range(10):
+        xi = jnp.asarray([[np.cos(0.7 * i)]], DT)
+        yi = jnp.sin(2.5 * xi)
+        ni = jnp.full_like(yi, 0.5)
+        full = wiski_condition(model, full, xi, yi, ni)
+        slim = wiski_condition(model, slim, xi, yi, ni)
+
+    np.testing.assert_allclose(np.asarray(slim.roots.root), np.asarray(full.roots.root), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(slim.wty), np.asarray(full.wty), atol=1e-12)
+
+    # MLL and prediction identical (neither reads the accumulator)
+    np.testing.assert_allclose(
+        np.asarray(wiski_mll(model, params, slim, CFG)),
+        np.asarray(wiski_mll(model, params, full, CFG)),
+        atol=1e-12,
+    )
+    xt = jnp.linspace(-0.9, 0.9, 7, dtype=DT)[:, None]
+    ms, vs = wiski_predict(model, params, slim, xt, CFG)
+    mf, vf = wiski_predict(model, params, full, xt, CFG)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(mf), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vf), atol=1e-12)
+
+
+def test_slim_refresh_and_check():
+    model, params, state, *_ = _setup()
+    slim = wiski_slim(state)
+    for i in range(5):
+        xi = jnp.asarray([[0.2 * i - 0.4]], DT)
+        yi = jnp.sin(2.5 * xi)
+        slim = wiski_condition(model, slim, xi, yi, jnp.full_like(yi, 0.5))
+
+    health = wiski_check_decomposition(slim)
+    assert "inverse_root_err" in health
+    assert float(health["inverse_root_err"][0]) < 1e-8
+
+    refreshed = wiski_refresh_roots(slim, jitter=1e-12)
+    assert refreshed.roots.mat is None  # stays slim
+    # refreshed roots reconstruct the same Gram matrix
+    recon_r = refreshed.roots.root @ refreshed.roots.root.swapaxes(-1, -2)
+    recon_s = slim.roots.root @ slim.roots.root.swapaxes(-1, -2)
+    np.testing.assert_allclose(np.asarray(recon_r), np.asarray(recon_s), rtol=1e-8, atol=1e-7)
+
+    fat = wiski_unslim(slim)
+    assert fat.roots.mat is not None
+    full_health = wiski_check_decomposition(fat)
+    assert float(full_health["root_recon_rel_err"][0]) < 1e-10
+
+
+def test_wrapper_slim_state():
+    from online_gp_tpu.api.regression import OnlineSKIRegression
+    from online_gp_tpu.api.stems import IdentityStem
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (64, 1)).astype(np.float32)
+    y = np.sin(3 * x).astype(np.float32)
+    wrapper = OnlineSKIRegression(
+        IdentityStem(1), x, y, grid_size=16, slim_state=True, refresh_roots_every=16
+    )
+    assert wrapper.state.roots.mat is None
+    for i in range(20):
+        wrapper.update(x[i : i + 1], y[i : i + 1])
+    assert wrapper.state.roots.mat is None  # refresh keeps it slim
+    rmse, nll = wrapper.evaluate(x, y)
+    assert np.isfinite(rmse) and np.isfinite(nll)
+    assert rmse < 0.5

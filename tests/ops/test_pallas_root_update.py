@@ -108,3 +108,33 @@ def test_fallback_shapes_route_to_xla():
     out = pallas_root_cache_update(cache, v, interpret=True)
     ref = root_cache_update(cache, v)
     np.testing.assert_allclose(out.root, ref.root, rtol=1e-5, atol=1e-5)
+
+
+def test_slim_kernel_parity():
+    """The roots-only slim kernel (no Gram accumulator) matches both the
+    full kernel's roots and the XLA slim path, incl. edge tiles."""
+    from online_gp_tpu.ops.pallas_root_update import pallas_rank1_update_slim
+    from online_gp_tpu.ops.root_update import root_cache_slim
+
+    for m in (128, 100, 130):
+        cache = _make_cache(jax.random.PRNGKey(m), m)
+        v = jax.random.normal(jax.random.PRNGKey(m + 1), (m, 1), dtype=jnp.float32)
+        Lp, Bp = pallas_rank1_update_slim(cache.root, cache.inv_root, v, interpret=True)
+        ref = root_cache_update(root_cache_slim(cache), v)
+        np.testing.assert_allclose(Lp, ref.root, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(Bp, ref.inv_root, rtol=1e-5, atol=1e-5)
+
+
+def test_slim_cache_update_dispatch():
+    """pallas_root_cache_update routes slim caches to the slim kernel and
+    keeps mat=None through the batched unroll."""
+    from online_gp_tpu.ops.root_update import root_cache_slim
+
+    m, B = 64, 2
+    cache = root_cache_slim(_make_cache(jax.random.PRNGKey(77), m, batch=B))
+    v = jax.random.normal(jax.random.PRNGKey(78), (B, m, 1), jnp.float32)
+    out_p = pallas_root_cache_update(cache, v, interpret=True)
+    out_x = root_cache_update(cache, v)
+    assert out_p.mat is None
+    np.testing.assert_allclose(out_p.root, out_x.root, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_p.inv_root, out_x.inv_root, rtol=1e-5, atol=1e-5)

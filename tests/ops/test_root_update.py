@@ -97,3 +97,29 @@ def test_update_in_float32_stays_stable():
     rel = np.abs(recon - np.asarray(cache.mat)).max() / np.abs(np.asarray(cache.mat)).max()
     assert rel < 5e-3
     assert np.abs(ident - np.eye(m)).max() < 5e-2
+
+
+def test_slim_cache_matches_full():
+    """Slim mode (mat=None) must evolve identical roots to the full cache,
+    refuse nothing, and rebuild A = L L^T on demand."""
+    from online_gp_tpu.ops.root_update import root_cache_slim, root_cache_rebuild_mat
+
+    m = 18
+    A = _random_psd(jax.random.PRNGKey(10), m, m)
+    full = root_cache_init(A, jitter=1e-12)
+    slim = root_cache_slim(full)
+    assert slim.mat is None
+    for i in range(20):
+        v = jax.random.normal(jax.random.PRNGKey(100 + i), (m, 1), dtype=jnp.float64)
+        full = root_cache_update(full, v)
+        slim = root_cache_update(slim, v)
+        assert slim.mat is None
+    np.testing.assert_allclose(np.asarray(slim.root), np.asarray(full.root), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(slim.inv_root), np.asarray(full.inv_root), atol=1e-12)
+
+    rebuilt = root_cache_rebuild_mat(slim)
+    np.testing.assert_allclose(np.asarray(rebuilt.mat), np.asarray(full.mat), rtol=1e-8, atol=1e-8)
+
+    # expand handles the None leaf
+    expanded = root_cache_expand(slim, (3,))
+    assert expanded.mat is None and expanded.root.shape == (3, m, m)
