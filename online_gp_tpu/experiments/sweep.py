@@ -38,51 +38,234 @@ def run_sweep(num_trials: int, mode: str, overrides: List[str]) -> List[Dict]:
         return results
 
     if mode == "mesh":
-        # batched trials of the WISKI flagship sharded over the mesh:
-        # one jitted program runs num_trials independent streams.
-        import jax
-        import jax.numpy as jnp
-        import optax
-
-        from online_gp_tpu.kernels import RBFKernel
-        from online_gp_tpu.ops import Grid
-        from online_gp_tpu.models.wiski import WiskiModel, wiski_init
-        from online_gp_tpu.parallel import make_mesh, shard_leading, batched_trials_step
-        from online_gp_tpu.data import streaming_friedman
-
-        n_dev = len(jax.devices())
-        mesh = make_mesh(min(n_dev, num_trials))
-        grid = Grid.create([(-1.1, 1.1)] * 2, 16)
-        model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
-        opt = optax.adam(1e-2)
-
-        def init_trial(seed):
-            tx, ty, ex, ey = streaming_friedman(n=1024, num_dims=2, seed=int(seed))
-            params = model.init_params(2)
-            state = wiski_init(model, jnp.asarray(tx[:256]), jnp.asarray(ty[:256]),
-                               jnp.ones((256, 1), jnp.float32))
-            return params, opt.init(params), state, jnp.asarray(tx[256:512]), jnp.asarray(ty[256:512])
-
-        per_trial = [init_trial(s) for s in range(num_trials)]
-        stack = lambda i: jax.tree.map(lambda *xs: jnp.stack(xs), *[t[i] for t in per_trial])
-        params, opt_states, states = stack(0), stack(1), stack(2)
-        xs, ys = stack(3), stack(4)
-        params = shard_leading(params, mesh)
-        opt_states = shard_leading(opt_states, mesh)
-        states = shard_leading(states, mesh)
-
-        step = jax.jit(batched_trials_step(model, opt))
-        for chunk in range(0, xs.shape[1], 8):
-            xb = xs[:, chunk : chunk + 8]
-            yb = ys[:, chunk : chunk + 8]
-            nb = jnp.ones_like(yb)
-            params, opt_states, states, losses = step(params, opt_states, states, xb, yb, nb)
-        jax.block_until_ready(losses)
-        for t in range(num_trials):
-            results.append(dict(trial=t, final_loss=float(losses[t]), num_data=int(states.num_data[t])))
-        return results
+        return mesh_regression_sweep(num_trials, overrides)
 
     raise ValueError(f"unknown sweep mode {mode!r} (seq/mesh)")
+
+
+def mesh_regression_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
+    """Run ``num_trials`` independent streaming-regression trials of the
+    WISKI flagship as ONE jitted program, vmapped over a leading trial dim
+    and sharded over the device mesh — the TPU replacement for the
+    reference's Slurm trial array (``scripts/launch_jobs.sh:1-21``,
+    submitit launchers).
+
+    Arbitrary model/dataset/stem overrides are honored through the same
+    config grammar as ``mode=seq`` (``model=wiski_gp_regression
+    dataset=powerplant stem=linear batch_size=1 ...``); per-trial data
+    shuffles and stem inits differ by seed. Each trial writes its own
+    ``online_metrics`` CSV (reference schema). Deltas vs the sequential
+    driver, both forced by the single-program design: no batch-model
+    regret arm (batch_rmse/batch_nll/regret are NaN), and BatchNorm
+    running stats freeze after the in-program pretrain epochs instead of
+    refreshing from a replay buffer each update.
+    """
+    import copy as _copy
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from online_gp_tpu.experiments.config import parse_config
+    from online_gp_tpu.experiments.common import build_stem, load_dataset
+    from online_gp_tpu.kernels.base import make_kernel
+    from online_gp_tpu.likelihoods.gaussian import gaussian_nll
+    from online_gp_tpu.logging import CSVLogger
+    from online_gp_tpu.models.partial_mll import sm_partial_mll
+    from online_gp_tpu.models.wiski import (
+        WiskiModel,
+        wiski_condition,
+        wiski_init,
+        wiski_mll,
+        wiski_predict,
+    )
+    from online_gp_tpu.ops import Grid
+    from online_gp_tpu.parallel import make_mesh, shard_leading
+    from online_gp_tpu.experiments.common import solver_config
+
+    cfg = parse_config(overrides)
+    if cfg["model"]["name"] != "wiski_gp_regression" or cfg["dataset"]["type"] != "regression":
+        raise ValueError(
+            "mode=mesh batches the functional WISKI regression core; "
+            f"got model={cfg['model']['name']!r} dataset type="
+            f"{cfg['dataset']['type']!r} — use mode=seq for other models"
+        )
+
+    # ---- per-trial data, stacked along a leading T dim (host side) ----
+    per_trial = []
+    for t in range(num_trials):
+        ct = _copy.deepcopy(cfg)
+        ct["seed"] = t
+        per_trial.append(load_dataset(ct))
+    n_tr = min(d[0].shape[0] for d in per_trial)
+    n_te = min(d[2].shape[0] for d in per_trial)
+    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
+    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(n_tr, -1) for d in per_trial]).astype(np.float32)
+    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
+    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(n_te, -1) for d in per_trial]).astype(np.float32)
+
+    # ---- static model pieces (shared spec; per-trial params) ----
+    stem = build_stem(cfg)
+    target_dim = train_y.shape[-1]
+    grid_bound = cfg["model"].get("grid_bound", 1.0) + 1e-1
+    grid = Grid.create([(-grid_bound, grid_bound)] * stem.output_dim, cfg["model"]["grid_size"])
+    model = WiskiModel(make_kernel("rbf"), grid, num_outputs=target_dim, learn_additional_noise=True)
+    scfg = solver_config(cfg)
+    scfg_skip = scfg.replace(skip_logdet_forward=True)
+
+    base_lr = cfg["dataset"]["base_lr"]
+    batch_size = cfg["batch_size"]
+    num_init = max(int(cfg["model"]["init_ratio"] * n_tr), 2)
+    n_stream = n_tr - num_init
+    if cfg.get("max_stream"):
+        n_stream = min(n_stream, int(cfg["max_stream"]))
+    num_chunks = n_stream // batch_size
+    num_epochs = cfg["num_batch_epochs"] if cfg["pretrain"] else 0
+    update_stem = bool(cfg["update_stem"]) and stem.has_params
+
+    sched = optax.cosine_decay_schedule(base_lr, max(num_epochs, 1), alpha=1e-4 / base_lr)
+    pre_gp_opt, pre_stem_opt = optax.adam(sched), optax.adam(sched)
+    gp_opt, stem_opt = optax.adam(base_lr / 10), optax.adam(base_lr / 100)
+
+    def one_trial(key, tx, ty, ex, ey):
+        init_x, init_y = tx[:num_init], ty[:num_init]
+        stream_x = tx[num_init : num_init + num_chunks * batch_size]
+        stream_y = ty[num_init : num_init + num_chunks * batch_size]
+        xs = stream_x.reshape(num_chunks, batch_size, -1)
+        ys = stream_y.reshape(num_chunks, batch_size, target_dim)
+
+        stem_params, bn0 = stem.init(key)
+        params = model.init_params(stem.output_dim)
+        noise0 = jnp.ones_like(init_y)
+
+        # pretrain epochs: full-cache refit with grads to the stem through
+        # the interpolation weights (wrapper ``fit`` semantics)
+        def epoch_step(carry, _):
+            p, sp, bn, gos, sos = carry
+
+            def loss_fn(pp, spp):
+                feats, new_bn = stem.apply(spp, bn, init_x, train=True)
+                st = wiski_init(model, feats, init_y, noise0)
+                return -jnp.sum(wiski_mll(model, pp, st, scfg)), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(p, sp)
+            g_up, gos = pre_gp_opt.update(grads[0], gos, p)
+            p = optax.apply_updates(p, g_up)
+            if stem.has_params:
+                s_up, sos = pre_stem_opt.update(grads[1], sos, sp)
+                sp = optax.apply_updates(sp, s_up)
+            return (p, sp, new_bn, gos, sos), loss
+
+        carry = (params, stem_params, bn0, pre_gp_opt.init(params), pre_stem_opt.init(stem_params))
+        if num_epochs:
+            carry, _ = jax.lax.scan(epoch_step, carry, None, length=num_epochs)
+        params, stem_params, bn_state, _, _ = carry
+
+        feats0, _ = stem.apply(stem_params, bn_state, init_x, train=False)
+        state = wiski_init(model, jax.lax.stop_gradient(feats0), init_y, noise0)
+
+        # streaming scan: prequential eval -> stem step -> GP step -> condition
+        def chunk_step(carry, inp):
+            p, sp, st = carry["p"], carry["sp"], carry["st"]
+            gos, sos = carry["gos"], carry["sos"]
+            x, y = inp
+            feats, _ = stem.apply(sp, bn_state, x, train=False)
+            feats = jax.lax.stop_gradient(feats)
+
+            mean, var = wiski_predict(model, p, st, feats, scfg)
+            s2 = jnp.exp(p["raw_second_noise"])
+            var = var + s2[:, None]
+            o_rmse = jnp.sqrt(jnp.mean((mean.T - y) ** 2))
+            o_nll = jnp.mean(gaussian_nll(mean.T, var.T, y))
+
+            if update_stem:
+                def stem_loss_fn(spp):
+                    f, _ = stem.apply(spp, bn_state, x, train=False)
+                    return -jnp.sum(sm_partial_mll(model, p, st, f, y, scfg))
+
+                s_loss, s_grads = jax.value_and_grad(stem_loss_fn)(sp)
+                s_up, sos = stem_opt.update(s_grads, sos, sp)
+                sp = optax.apply_updates(sp, s_up)
+            else:
+                s_loss = jnp.asarray(0.0, jnp.float32)
+
+            g_loss, g_grads = jax.value_and_grad(
+                lambda pp: -jnp.sum(wiski_mll(model, pp, st, scfg_skip))
+            )(p)
+            g_up, gos = gp_opt.update(g_grads, gos, p)
+            p = optax.apply_updates(p, g_up)
+
+            st = wiski_condition(model, st, feats, y, jnp.ones_like(y))
+            metrics = dict(stem_loss=s_loss, gp_loss=g_loss, online_rmse=o_rmse,
+                           online_nll=o_nll, noise=jnp.mean(jnp.exp(p["raw_second_noise"])))
+            return dict(p=p, sp=sp, st=st, gos=gos, sos=sos), metrics
+
+        carry = dict(p=params, sp=stem_params, st=state,
+                     gos=gp_opt.init(params), sos=stem_opt.init(stem_params))
+        carry, metrics = jax.lax.scan(chunk_step, carry, (xs, ys))
+
+        # final held-out evaluation
+        fe, _ = stem.apply(carry["sp"], bn_state, ex, train=False)
+        mean, var = wiski_predict(model, carry["p"], carry["st"], fe, scfg)
+        s2 = jnp.exp(carry["p"]["raw_second_noise"])
+        var = var + s2[:, None]
+        test_rmse = jnp.sqrt(jnp.mean((mean.T - ey) ** 2))
+        test_nll = jnp.mean(gaussian_nll(mean.T, var.T, ey))
+        return metrics, test_rmse, test_nll
+
+    # ---- one jitted program over the sharded trial dim ----
+    n_dev = len(jax.devices())
+    mesh_size = max(d for d in range(1, min(n_dev, num_trials) + 1) if num_trials % d == 0)
+    mesh = make_mesh(mesh_size)
+    keys = shard_leading(jax.random.split(jax.random.PRNGKey(cfg["seed"]), num_trials), mesh)
+    txs = shard_leading(jnp.asarray(train_x), mesh)
+    tys = shard_leading(jnp.asarray(train_y), mesh)
+    exs = shard_leading(jnp.asarray(test_x), mesh)
+    eys = shard_leading(jnp.asarray(test_y), mesh)
+
+    import time as _time
+
+    t0 = _time.time()
+    metrics, test_rmse, test_nll = jax.jit(jax.vmap(one_trial))(keys, txs, tys, exs, eys)
+    jax.block_until_ready(test_rmse)
+    wall = _time.time() - t0
+    step_time = wall / max(num_chunks * num_trials, 1)
+
+    # ---- per-trial CSVs with the reference online_metrics schema ----
+    results = []
+    freq = max(int(cfg["logging_freq"]), 1)
+    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    cum_rmse = np.cumsum(metrics["online_rmse"], axis=1)
+    cum_nll = np.cumsum(metrics["online_nll"], axis=1)
+    run_tag = f"mesh-{cfg['model']['name']}-{cfg['dataset']['name']}"
+    for t in range(num_trials):
+        logger = CSVLogger(cfg["log_dir"], f"{run_tag}-trial{t}")
+        logger.write_config(cfg)
+        logger.add_table("online_metrics")
+        log_rows = sorted(set(range(freq - 1, num_chunks, freq)) | {num_chunks - 1})
+        for c in log_rows:
+            is_last = c == num_chunks - 1
+            logger.log(
+                dict(
+                    stem_loss=float(metrics["stem_loss"][t, c]),
+                    gp_loss=float(metrics["gp_loss"][t, c]),
+                    batch_rmse=float("nan"),
+                    batch_nll=float("nan"),
+                    online_rmse=float(cum_rmse[t, c]),
+                    online_nll=float(cum_nll[t, c]),
+                    regret=float("nan"),
+                    test_rmse=float(test_rmse[t]) if is_last else float("nan"),
+                    test_nll=float(test_nll[t]) if is_last else float("nan"),
+                    noise=float(metrics["noise"][t, c]),
+                    step_time=step_time,
+                ),
+                step=(c + 1) * batch_size,
+                table_name="online_metrics",
+            )
+        logger.write_csv()
+        results.append(dict(trial=t, test_rmse=float(test_rmse[t]),
+                            test_nll=float(test_nll[t]), log_dir=logger.log_dir))
+    return results
 
 
 def main():
