@@ -41,6 +41,14 @@ class SolverConfig:
       the online loops).
     - ``use_toeplitz``: exploit Toeplitz structure of per-dim grid kernels
       (FFT MVMs) instead of dense factors (``experiments/bayesopt/bayesopt.py:282``).
+    - ``grid_shard_axis``: mesh axis name over which the inducing-grid
+      dimension m is sharded (tensor parallelism for very large grids; no
+      reference analog — it has no distributed backend, SURVEY §2.14).
+      When set, the WISKI solvers pin their m-row-sharded layout on the
+      big m x m intermediates with sharding constraints so GSPMD keeps the
+      contraction collectives (psum over the m-shards) instead of
+      all-gathering the operands. Callers must run inside the matching
+      ``Mesh`` context.
     """
 
     max_cholesky_size: int = 2048
@@ -55,6 +63,7 @@ class SolverConfig:
     skip_logdet_forward: bool = False
     detach_interp_coeff: bool = False
     use_toeplitz: bool = False
+    grid_shard_axis: "str | None" = None
 
     def replace(self, **kwargs) -> "SolverConfig":
         return dataclasses.replace(self, **kwargs)

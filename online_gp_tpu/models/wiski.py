@@ -322,20 +322,36 @@ def _kuu_eff(model: WiskiModel, params: Dict) -> jnp.ndarray:
     return Kuu
 
 
-def _q_factor(model: WiskiModel, params: Dict, state: WiskiState):
+def _shard_m_rows(a: jnp.ndarray, cfg: Optional[SolverConfig]):
+    """Pin the m (row) dimension of a (B, m, ...) intermediate to the
+    tensor-parallel mesh axis (``cfg.grid_shard_axis``), keeping GSPMD on
+    the psum-over-shards plan instead of all-gathering operands. No-op
+    when the axis is unset."""
+    if cfg is None or cfg.grid_shard_axis is None:
+        return a
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, cfg.grid_shard_axis, *([None] * (a.ndim - 2)))
+    return jax.lax.with_sharding_constraint(a, spec)
+
+
+def _q_factor(model: WiskiModel, params: Dict, state: WiskiState,
+              cfg: Optional[SolverConfig] = None):
     """Shared pieces: Kuu_eff, KuuL, chol(Q), proj = L^T Kuu W D^{-1} y.
 
     Matmul precision is pinned to true float32: Q's conditioning scales
     with num_data and bf16-pass accumulation on TPU can push it
-    indefinite."""
+    indefinite. Under ``cfg.grid_shard_axis`` the m x m intermediates stay
+    m-row-sharded; Q itself (contracted over m) is replicated for the
+    Cholesky."""
     with jax.default_matmul_precision("float32"):
         Kuu = _kuu_eff(model, params)
         L = state.roots.root
-        KuuL = Kuu @ L  # (B, m, m)
+        KuuL = _shard_m_rows(Kuu @ L, cfg)  # (B, m, m)
         m = KuuL.shape[-1]
         Q = jnp.eye(m, dtype=KuuL.dtype) + jnp.einsum("bji,bjk->bik", L, KuuL)
         Lq = jnp.linalg.cholesky(Q)  # Q = I + PSD: well conditioned, no jitter
-        Kuu_wty = Kuu @ state.wty  # (B, m, 1)
+        Kuu_wty = _shard_m_rows(Kuu @ state.wty, cfg)  # (B, m, 1)
         proj = jnp.einsum("bji,bjk->bik", L, Kuu_wty)  # (B, m, 1)
         return Kuu, KuuL, Lq, Kuu_wty, proj
 
@@ -470,7 +486,7 @@ def wiski_mll(
             model, params, state, cfg
         )
     else:
-        _, _, Lq, Kuu_wty, proj = _q_factor(model, params, state)
+        _, _, Lq, Kuu_wty, proj = _q_factor(model, params, state, cfg)
         sol = cho_solve(Lq, proj)
         inner_qform = jnp.sum(proj * sol, axis=(-2, -1))  # (B,)
         inner_logdet = chol_logdet(Lq)  # (B,)
@@ -515,7 +531,7 @@ def wiski_prediction_caches(
     with K = Kuu / s2. In a jitted caller these are computed once per
     hyperparameter/state change and closed over for many predict calls.
     """
-    _, KuuL, Lq, Kuu_wty, proj = _q_factor(model, params, state)
+    _, KuuL, Lq, Kuu_wty, proj = _q_factor(model, params, state, cfg)
     m = KuuL.shape[-1]
     with jax.default_matmul_precision("float32"):
         mean_cache = Kuu_wty - KuuL @ cho_solve(Lq, proj)

@@ -107,17 +107,23 @@ def main():
     if os.path.exists("BENCH_r1.json"):
         bench = json.load(open("BENCH_r1.json"))
     lines = [
-        "# RESULTS — round-1 runs of the BASELINE configurations",
+        "# RESULTS — round-2 runs of the BASELINE configurations",
         "",
-        "Quality runs on CPU (identical numerics); throughput on the real v5e chip.",
+        "Quality runs on CPU (identical numerics); throughput on the real chip.",
         "UCI/malaria inputs are the flagged deterministic surrogates (no network in",
         "this image) — absolute RMSEs are not comparable to the real-data anchors,",
-        "but every pipeline runs end-to-end with the reference's semantics.",
+        "but every pipeline runs end-to-end with the reference's semantics (real",
+        "xlsx/.mat/libsvm/HDF5/torch-pickle files load through data/formats.py when",
+        "dropped into data_dir).",
         "",
-        "## Throughput (real TPU v5e, 30x30 grid)",
+        "## Throughput (real TPU chip, 30x30 grid, `bench.py`)",
         "",
-        "- strict sequential conditioning: **33,663 updates/s** (`bench.py`; 3.37x the 10k target)",
+        "- strict sequential conditioning: **64,265 updates/s** (6.4x the 10k",
+        "  target; round 1: 32.7k) — slim streaming state (no Gram accumulator,",
+        "  4 m^2 HBM floats/update), sparse-stencil p-gather, fused Pallas",
+        "  rank-1 apply, stencil math hoisted out of the scan.",
         "- rank-q micro-batched (exact): 74k points/s at q=8, 99k at q=32",
+        "  (round-1 measurement; the q>1 path is unchanged)",
         "",
         "## Configuration runs",
         "",
@@ -130,7 +136,7 @@ def main():
         metrics = ", ".join(f"{k}={v}" for k, v in r.items())
         lines.append(f"| {name} | {metrics} | {anchor} |")
     lines.append("")
-    lines.append(f"Total wall-clock for the quality suite: {time.time() - t_all:.0f}s.")
+    lines.append(f"Total wall-clock for the quality suite (round 2): {time.time() - t_all:.0f}s.")
     with open("RESULTS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote RESULTS.md")

@@ -81,3 +81,50 @@ def test_grid_sharded_mll_matches_replicated():
     with mesh:
         sharded = float(jax.jit(lambda p, s: wiski_mll(model, p, s)[0])(params, state_sh))
     np.testing.assert_allclose(sharded, base, rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_grid_shard_axis_constraint():
+    """SolverConfig.grid_shard_axis pins the m-row-sharded layout on the
+    m x m intermediates: value parity with the replicated run, and the
+    whole MLL-grad + predict program compiles/executes under the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from online_gp_tpu.config import SolverConfig
+    from online_gp_tpu.models.wiski import wiski_predict
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev, axis_name="tp")
+    grid = Grid.create([(-1.1, 1.1)], 8 * n_dev)
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
+    params = model.init_params(1)
+    x = jnp.linspace(-1, 1, 24)[:, None]
+    y = jnp.sin(2 * x)
+    state = wiski_init(model, x, y, jnp.ones_like(y))
+    base = float(wiski_mll(model, params, state)[0])
+    xt = jnp.linspace(-0.9, 0.9, 5)[:, None]
+    base_mean, base_var = wiski_predict(model, params, state, xt)
+
+    cfg = SolverConfig(grid_shard_axis="tp")
+    shard = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "tp", None)))
+    state_sh = state._replace(
+        wty=shard(state.wty),
+        roots=type(state.roots)(
+            mat=shard(state.roots.mat), root=shard(state.roots.root),
+            inv_root=shard(state.roots.inv_root),
+        ),
+    )
+
+    @jax.jit
+    def mll_grad_predict(p, s):
+        loss, g = jax.value_and_grad(lambda pp: -jnp.sum(wiski_mll(model, pp, s, cfg)))(p)
+        mean, var = wiski_predict(model, p, s, xt, cfg)
+        return loss, g, mean, var
+
+    with mesh:
+        loss, g, mean, var = mll_grad_predict(params, state_sh)
+    jax.block_until_ready(loss)
+    np.testing.assert_allclose(-float(loss), base, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(base_mean), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(base_var), rtol=1e-4, atol=1e-6)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
