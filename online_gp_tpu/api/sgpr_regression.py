@@ -109,16 +109,27 @@ class OnlineSGPRegression:
 
     # ------------------------------------------------------------------
 
-    def _bound_step_fn(self, q: int, combine: bool):
-        key = ("bound", q, combine, self.old is not None)
+    def _bound_step_fn(self, q: int, combine: bool, replay_n: int = 0):
+        key = ("bound", q, combine, self.old is not None, replay_n)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, stem = self.model, self.stem
         opt, stem_opt = self.opt, self.stem_opt
 
-        def fn(params, stem_params, bn_state, opt_state, stem_opt_state, old, x, y):
+        def fn(params, stem_params, bn_state, opt_state, stem_opt_state, old, x, y,
+               replay=None):
             def loss_fn(p, sp):
-                feats, new_bn = stem.apply(sp, bn_state, x, train=True)
+                # BatchNorm over a lone streamed point would normalize it
+                # to zero; pad with replayed inputs and keep only the new
+                # points' features (reference ``online_sgpr_regression.py``
+                # ``_get_features``, lines 152-162).
+                if replay is not None:
+                    feats_all, new_bn = stem.apply(
+                        sp, bn_state, jnp.concatenate([x, replay]), train=True
+                    )
+                    feats = feats_all[:q]
+                else:
+                    feats, new_bn = stem.apply(sp, bn_state, x, train=True)
                 if combine:
                     val = sgpr_bound(model, p, old, feats, y, combine_terms=True)
                 else:
@@ -225,16 +236,10 @@ class OnlineSGPRegression:
         loss = jnp.nan
         if hyper_step:
             self._absorbs_since_rebase = 0
-            step = self._bound_step_fn(inputs.shape[0], False)
+            replay_n = 1024 if self.stem.has_params else 0
+            step = self._bound_step_fn(inputs.shape[0], False, replay_n)
             for _ in range(self.num_update_steps):
-                (
-                    self.params,
-                    self.stem_params,
-                    self.stem_state,
-                    self.opt_state,
-                    self.stem_opt_state,
-                    loss,
-                ) = step(
+                args = [
                     self.params,
                     self.stem_params,
                     self.stem_state,
@@ -243,7 +248,17 @@ class OnlineSGPRegression:
                     self.old,
                     inputs,
                     targets.reshape(-1),
-                )
+                ]
+                if replay_n:
+                    args.append(jnp.asarray(self.buffer.sample(replay_n)))
+                (
+                    self.params,
+                    self.stem_params,
+                    self.stem_state,
+                    self.opt_state,
+                    self.stem_opt_state,
+                    loss,
+                ) = step(*args)
         # filter steps exact-accumulate with frozen hypers; hyper steps
         # re-project the summary into the just-moved frame
         self._absorb(inputs, targets, resample_ratio=0.0, rebase=hyper_step)

@@ -109,17 +109,29 @@ class _OnlineSVGPBase:
 
     # -- shared jitted steps ----------------------------------------------
 
-    def _train_step_fn(self, q: int, num_data: int, beta: float, use_streaming: bool):
-        key = ("train", q, num_data, beta, use_streaming)
+    def _train_step_fn(self, q: int, num_data: int, beta: float, use_streaming: bool,
+                       replay_n: int = 0):
+        key = ("train", q, num_data, beta, use_streaming, replay_n)
         if key in self._jit_cache:
             return self._jit_cache[key]
         model, cfg, stem = self.model, self.cfg, self.stem
         opt, stem_opt = self.opt, self.stem_opt
         online_beta = self.online_beta
 
-        def fn(params, stem_params, bn_state, opt_state, stem_opt_state, old, x, y):
+        def fn(params, stem_params, bn_state, opt_state, stem_opt_state, old, x, y,
+               replay=None):
             def loss_fn(p, sp):
-                feats, new_bn = stem.apply(sp, bn_state, x, train=True)
+                # BatchNorm on a lone streamed point would normalize it to
+                # zero; the reference pads the batch with 1024 replayed
+                # inputs and keeps only the new points' features
+                # (``online_svgp_regression.py:153-163`` _get_features).
+                if replay is not None:
+                    feats_all, new_bn = stem.apply(
+                        sp, bn_state, jnp.concatenate([x, replay]), train=True
+                    )
+                    feats = feats_all[:q]
+                else:
+                    feats, new_bn = stem.apply(sp, bn_state, x, train=True)
                 loss = -svgp_elbo(model, p, feats, y, num_data, beta, cfg)
                 if use_streaming:
                     loss = loss + svgp_streaming_correction(model, p, old, q, online_beta, cfg)
@@ -207,17 +219,11 @@ class _OnlineSVGPBase:
         use_streaming = self.streaming
         if use_streaming:
             self.old = svgp_snapshot(self.model, self.params)
-        step = self._train_step_fn(q, q, self.prior_beta, use_streaming)
+        replay_n = 1024 if self.stem.has_params else 0
+        step = self._train_step_fn(q, q, self.prior_beta, use_streaming, replay_n)
         loss = jnp.nan
         for _ in range(self.num_update_steps):
-            (
-                self.params,
-                self.stem_params,
-                self.stem_state,
-                self.opt_state,
-                self.stem_opt_state,
-                loss,
-            ) = step(
+            args = [
                 self.params,
                 self.stem_params,
                 self.stem_state,
@@ -226,7 +232,17 @@ class _OnlineSVGPBase:
                 self.old,
                 inputs,
                 targets,
-            )
+            ]
+            if replay_n:
+                args.append(jnp.asarray(self.buffer.sample(replay_n)))
+            (
+                self.params,
+                self.stem_params,
+                self.stem_state,
+                self.opt_state,
+                self.stem_opt_state,
+                loss,
+            ) = step(*args)
         self.buffer.append(np.asarray(inputs))
         return float(loss), float(loss)
 
