@@ -110,3 +110,53 @@ def test_wrapper_slim_state():
     rmse, nll = wrapper.evaluate(x, y)
     assert np.isfinite(rmse) and np.isfinite(nll)
     assert rmse < 0.5
+
+
+def test_slim_long_stream_f32_drift_bounded():
+    """20k f32 rank-1 updates on the slim path with periodic re-anchoring:
+    the maintained inverse-root must stay consistent (B^T L ~= I) and the
+    posterior finite/sane — guards the production streaming configuration
+    (slim_state + refresh_roots_every)."""
+    import jax
+
+    grid = Grid.create([(-1.2, 1.2)], 16, dtype=jnp.float32)
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
+    params = model.init_params(1, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (64, 1), jnp.float32, -1, 1)
+    y0 = jnp.sin(2.5 * x0)
+    state = wiski_slim(wiski_init(model, x0, y0, jnp.ones_like(y0)))
+
+    from online_gp_tpu.ops.interp import interp_coeffs
+    from online_gp_tpu.models.wiski import wiski_condition_coeffs
+
+    n, refresh_every = 20_000, 2_000
+    xs = jax.random.uniform(jax.random.fold_in(key, 1), (n, 1), jnp.float32, -1, 1)
+    ys = jnp.sin(2.5 * xs)
+
+    @jax.jit
+    def stream_block(state, xb, yb):
+        idxs, ws = interp_coeffs(model.grid, xb, detach=True)
+
+        def step(s, inp):
+            ii, wi, yi = inp
+            return wiski_condition_coeffs(
+                model, s, ii[None], wi[None], yi[None], jnp.ones((1, 1), jnp.float32)
+            ), 0.0
+
+        s, _ = jax.lax.scan(step, state, (idxs, ws, yb))
+        return s
+
+    for start in range(0, n, refresh_every):
+        state = stream_block(state, xs[start : start + refresh_every],
+                             ys[start : start + refresh_every])
+        state = wiski_refresh_roots(state)
+
+    health = wiski_check_decomposition(state)
+    assert float(health["inverse_root_err"][0]) < 1e-2
+    xt = jnp.linspace(-0.9, 0.9, 64, dtype=jnp.float32)[:, None]
+    mean, var = wiski_predict(model, params, state, xt, CFG)
+    rmse = float(jnp.sqrt(jnp.mean((mean[0] - jnp.sin(2.5 * xt)[:, 0]) ** 2)))
+    assert jnp.isfinite(mean).all() and jnp.isfinite(var).all()
+    assert float(var.min()) > 0
+    assert rmse < 0.1, f"posterior degraded over the long stream: rmse {rmse}"
