@@ -148,6 +148,12 @@ class OnlineSKIRegression:
             kernel, grid, num_outputs=self.target_dim, learn_additional_noise=True
         )
         self.params = self.model.init_params(stem.output_dim)
+        if hasattr(kernel, "data_init_params"):
+            # init-sensitive kernels (spectral mixture) take their starting
+            # hypers from the init data, like gpytorch's initialize_from_data
+            self.params["kernel"] = kernel.data_init_params(
+                feats, init_y, jax.random.fold_in(key, 1), (self.target_dim,)
+            )
         # slim_state drops the Gram accumulator from the streaming state
         # (4 m^2 instead of 6 m^2 HBM floats per online update); periodic
         # refreshes then re-anchor to L L^T (see wiski_slim docstring).

@@ -11,11 +11,14 @@ from online_gp_tpu.kernels.base import (
     MaternKernel,
     make_kernel,
 )
+from online_gp_tpu.kernels.spectral_mixture import SpectralMixtureKernel, sm_init_from_data
 from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense, grid_kuu_factors, grid_kuu_mvm
 from online_gp_tpu.kernels.priors import GammaPrior, log_prior_sum
 
 __all__ = [
     "Kernel",
+    "SpectralMixtureKernel",
+    "sm_init_from_data",
     "RBFKernel",
     "MaternKernel",
     "make_kernel",

@@ -163,6 +163,12 @@ class RadialMaternKernel(Kernel):
         return scale[..., None, None] * k
 
 
+def _make_sm(num_mixtures: int):
+    from online_gp_tpu.kernels.spectral_mixture import SpectralMixtureKernel
+
+    return SpectralMixtureKernel(num_mixtures)
+
+
 _REGISTRY = {
     "rbf": lambda: RBFKernel(),
     "matern12": lambda: MaternKernel(0.5),
@@ -171,6 +177,12 @@ _REGISTRY = {
     "radial_matern12": lambda: RadialMaternKernel(0.5),
     "radial_matern32": lambda: RadialMaternKernel(1.5),
     "radial_matern52": lambda: RadialMaternKernel(2.5),
+    # spectral mixture (reference notebook covar_module,
+    # regression_viz_1D.ipynb: SpectralMixtureKernel(num_mixtures=3))
+    "sm2": lambda: _make_sm(2),
+    "sm3": lambda: _make_sm(3),
+    "sm4": lambda: _make_sm(4),
+    "spectral_mixture": lambda: _make_sm(3),
 }
 
 
