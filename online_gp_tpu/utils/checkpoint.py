@@ -89,15 +89,39 @@ def _decode(spec: Dict, leaves: List[Any]) -> Any:
 # ---------------------------------------------------------------------------
 
 
-def save_pytree(path: str, tree: Any) -> None:
-    """Save an arbitrary pytree of arrays/scalars to ``path`` (.npz +
-    structure JSON)."""
+def _orbax_dir(path: str) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return os.path.abspath(base + ".orbax")
+
+
+def save_pytree(path: str, tree: Any, backend: str = "npz") -> None:
+    """Save an arbitrary pytree of arrays/scalars to ``path``.
+
+    backend="npz" (default): .npz array payload. backend="orbax": the
+    leaf arrays go through orbax-checkpoint (tensorstore-backed, async/
+    multi-host capable) instead. Both write the same self-describing
+    structure JSON next to the payload, so either loads exemplar-free
+    through :func:`load_pytree`.
+    """
     leaves: List[Any] = []
     encoding = _encode(tree, leaves)
     treedef = jax.tree.flatten(tree)[1]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    np.savez(_npz_path(path), **arrays)
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        target = _orbax_dir(path)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(target, arrays)
+    elif backend == "npz":
+        np.savez(_npz_path(path), **arrays)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r} (npz/orbax)")
     with open(_structure_path(path), "w") as f:
         json.dump(
             {"treedef": str(treedef), "num_leaves": len(leaves), "encoding": encoding}, f
@@ -114,8 +138,15 @@ def load_pytree(path: str, like: Optional[Any] = None) -> Any:
     """
     import jax.numpy as jnp
 
-    npz = np.load(_npz_path(path))
-    leaves = [jnp.asarray(npz[f"leaf_{i}"]) for i in range(len(npz.files))]
+    if os.path.isdir(_orbax_dir(path)):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            arrays = ckptr.restore(_orbax_dir(path))
+        leaves = [jnp.asarray(arrays[f"leaf_{i}"]) for i in range(len(arrays))]
+    else:
+        npz = np.load(_npz_path(path))
+        leaves = [jnp.asarray(npz[f"leaf_{i}"]) for i in range(len(npz.files))]
     structure = None
     if os.path.exists(_structure_path(path)):
         with open(_structure_path(path)) as f:

@@ -123,3 +123,25 @@ def test_check_decomposition_and_refresh():
     diag2 = wiski_check_decomposition(refreshed)
     assert float(diag2["root_recon_rel_err"].max()) < 1e-3
     assert float(diag2["inverse_root_err"].max()) < 1e-2
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """backend='orbax' writes through orbax-checkpoint and loads back
+    exemplar-free, including NamedTuple nodes and None components."""
+    import jax.numpy as jnp
+    from online_gp_tpu.ops.root_update import RootCache
+    from online_gp_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {
+        "roots": RootCache(mat=None, root=jnp.eye(3), inv_root=jnp.eye(3)),
+        "params": {"a": jnp.arange(4.0), "b": (jnp.ones(2), None)},
+    }
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, tree, backend="orbax")
+    restored = load_pytree(path)
+    assert isinstance(restored["roots"], RootCache)
+    assert restored["roots"].mat is None
+    assert restored["params"]["b"][1] is None
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(restored["roots"].root), np.eye(3))
+    np.testing.assert_allclose(np.asarray(restored["params"]["a"]), np.arange(4.0))
