@@ -24,12 +24,11 @@ TARGET = 10_000.0
 def main():
     from online_gp_tpu.kernels import RBFKernel
     from online_gp_tpu.ops import Grid
-    from online_gp_tpu.ops.interp import interp_coeffs
     from online_gp_tpu.models.wiski import (
         WiskiModel,
         wiski_init,
-        wiski_condition_coeffs,
         wiski_slim,
+        wiski_stream,
     )
 
     d, grid_size = 2, 30
@@ -54,20 +53,10 @@ def main():
 
     @jax.jit
     def stream(state, xs, ys, ns):
-        # The per-point stencil math is embarrassingly parallel: one
-        # vectorized call over the whole stream, then scan only the
-        # sequential O(m^2) conditioning (see wiski_condition_coeffs).
-        idxs, ws = interp_coeffs(model.grid, xs[:, 0, :], detach=True)
-
-        def step(s, inp):
-            ii, wi, yi, ni = inp
-            return (
-                wiski_condition_coeffs(model, s, ii[None], wi[None], yi, ni),
-                0.0,
-            )
-
-        s, _ = jax.lax.scan(step, state, (idxs, ws, ys, ns))
-        return s
+        # wiski_stream: one exact rank-1 update per point, with the
+        # stencil math and every order-independent cache update vectorized
+        # outside the scan — the carry is only (L, B).
+        return wiski_stream(model, state, xs[:, 0, :], ys[:, 0, :], ns[:, 0, :])
 
     # Correctness gate before timing: the scanned stream (Pallas fused
     # kernel on TPU) must match the pure-XLA root update on the same

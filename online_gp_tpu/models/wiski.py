@@ -251,6 +251,89 @@ def wiski_condition_coeffs(
     )
 
 
+def wiski_stream(
+    model: WiskiModel,
+    state: WiskiState,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    noises: jnp.ndarray,
+    detach_interp: bool = True,
+) -> WiskiState:
+    """Absorb a stream of n single points — one exact rank-1 root update
+    per point, identical math and order to scanning ``wiski_condition`` —
+    with every order-INdependent piece vectorized outside the sequential
+    recursion (the TPU-shaped streaming plan):
+
+    - interpolation stencils: one vectorized ``interp_coeffs`` call,
+    - additive caches (wty / ydy / d_logdet / Gram accumulator): single
+      bulk scatter-adds / reductions / matmuls over the whole stream,
+    - the roots recursion: a ``lax.scan`` whose carry is ONLY (L, B) —
+      p-gather + fused outer-product apply per step.
+
+    Args:
+      xs: (n, D); ys, noises: (n, B) (or broadcastable to it).
+
+    Returns the conditioned state (bit-comparable to the sequential loop
+    up to f32 reassociation in the bulk reductions).
+    """
+    B = model.num_outputs
+    m = model.grid.num_points
+    n = xs.shape[0]
+    y = ys.reshape(n, B)
+    noise = noises.reshape(n, B)
+    idx, w = interp_coeffs(model.grid, xs, detach=detach_interp)  # (n, P)
+
+    with jax.default_matmul_precision("float32"):
+        # ---- order-independent additive caches, vectorized ----
+        dinv_y = y / noise  # (n, B)
+        from online_gp_tpu.ops.interp import wt_matvec
+
+        wty = state.wty + wt_matvec(idx, w, dinv_y, m).T[..., None]  # (B, m, 1)
+        ydy = state.ydy + jnp.sum(y * dinv_y, axis=0)
+        d_logdet = state.d_logdet + jnp.sum(jnp.log(noise), axis=0)
+        if state.roots.mat is None:
+            new_mat = None
+        else:
+            wt = dense_w(idx, w, m)  # (m, n)
+            new_mat = state.roots.mat + jnp.einsum(
+                "mc,cb,kc->bmk", wt, 1.0 / jnp.maximum(noise, 1e-7), wt
+            )
+
+        # ---- sequential roots recursion (the only order-dependent part) ----
+        rn = jnp.sqrt(jnp.maximum(noise, 1e-7))  # (n, B)
+        use_pallas = (
+            detach_interp and B <= 8 and jax.default_backend() == "tpu"
+        )
+
+        def step(carry, inp):
+            L, Binv = carry
+            ii, wi, rni = inp  # (P,), (P,), (B,)
+            p = jnp.einsum("p,bpm->bm", wi, Binv[:, ii, :]) / rni[:, None]
+            if use_pallas:
+                from online_gp_tpu.ops.pallas_root_update import pallas_rank1_apply
+
+                outs = [pallas_rank1_apply(L[b], Binv[b], p[b]) for b in range(B)]
+                L = jnp.stack([o[0] for o in outs])
+                Binv = jnp.stack([o[1] for o in outs])
+            else:
+                from online_gp_tpu.ops.root_update import roots_apply_rank1_p
+
+                L, Binv = roots_apply_rank1_p(L, Binv, p)
+            return (L, Binv), 0.0
+
+        (root, inv_root), _ = jax.lax.scan(
+            step, (state.roots.root, state.roots.inv_root), (idx, w, rn)
+        )
+
+    return WiskiState(
+        wty=wty,
+        ydy=ydy,
+        roots=RootCache(mat=new_mat, root=root, inv_root=inv_root),
+        d_logdet=d_logdet,
+        num_data=state.num_data + n,
+    )
+
+
 def wiski_slim(state: WiskiState) -> WiskiState:
     """Opt into the slim streaming state: drop the exact Gram accumulator
     so the per-update HBM traffic is 4 m^2 floats instead of 6 (the hot

@@ -27,11 +27,28 @@ def add(name, **kw):
 
 
 def main():
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     t_all = time.time()
     from online_gp_tpu.experiments.config import parse_config
     from online_gp_tpu.experiments.regression import regression_trial
     from online_gp_tpu.experiments.classification import classification_trial
 
+    if only is None or "wiski" in only:
+        _stage_wiski()
+    if only is None or "svgp" in only:
+        _stage_svgp_sgpr()
+    if only is None or "bo" in only:
+        _stage_bo_al()
+    _write(t_all, partial=only is not None)
+
+
+def _stage_wiski():
+    from online_gp_tpu.experiments.config import parse_config
+    from online_gp_tpu.experiments.regression import regression_trial
+    from online_gp_tpu.experiments.classification import classification_trial
     # 1) WISKI streaming regression on skillcraft (reference config 1).
     #    19-D inputs require the dimensionality-reducing stem (the
     #    reference's default stem=linear, feature_dim=2); eye-stem SKI on
@@ -67,6 +84,10 @@ def main():
     add("wiski_gpd/banana (eye stem)", test_acc=round(out["test_acc"], 4),
         anchor="reference test thresholds: batch>=0.85, online>=0.75")
 
+
+def _stage_svgp_sgpr():
+    from online_gp_tpu.experiments.config import parse_config
+    from online_gp_tpu.experiments.regression import regression_trial
     # 3) online SVGP / SGPR streaming regression (reference config 3)
     for model in ("svgp_regression", "sgpr_regression"):
         for dataset in ("powerplant", "elevators"):
@@ -80,6 +101,8 @@ def main():
                 test_nll=round(out["test_nll"], 4),
                 anchor=f"reference baseline_rmse={cfg['dataset']['baseline_rmse']} (surrogate data)")
 
+
+def _stage_bo_al():
     # 4) WISKI + UCB BayesOpt on Ackley-3d (reference config 4)
     from online_gp_tpu.bayesopt.loop import run_bayesopt
 
@@ -102,7 +125,13 @@ def main():
             final_rmse=round(out["records"][-1]["test_rmse"], 4),
             final_avg_var=round(out["records"][-1]["avg_variance"], 4))
 
-    # write RESULTS.md
+
+def _write(t_all, partial=False):
+    # write RESULTS.md (or dump partial rows as JSON for assembly)
+    if partial:
+        import json as _json
+        print("PARTIAL_RESULTS_JSON " + _json.dumps(RESULTS))
+        return
     bench = None
     if os.path.exists("BENCH_r1.json"):
         bench = json.load(open("BENCH_r1.json"))

@@ -160,3 +160,55 @@ def test_slim_long_stream_f32_drift_bounded():
     assert jnp.isfinite(mean).all() and jnp.isfinite(var).all()
     assert float(var.min()) > 0
     assert rmse < 0.1, f"posterior degraded over the long stream: rmse {rmse}"
+
+
+def test_wiski_stream_matches_sequential():
+    """wiski_stream's vectorized-outside-scan plan must equal scanning
+    wiski_condition point by point (f64, both slim and full states)."""
+    from online_gp_tpu.models.wiski import wiski_stream
+
+    model, params, state, *_ = _setup()
+    key = jax.random.PRNGKey(3)
+    xs = jax.random.uniform(key, (12, 1), DT, -1, 1)
+    ys = jnp.sin(2.5 * xs)
+    ns = jnp.full_like(ys, 0.7)
+
+    for st0 in (state, wiski_slim(state)):
+        seq = st0
+        for i in range(xs.shape[0]):
+            seq = wiski_condition(model, seq, xs[i : i + 1], ys[i : i + 1], ns[i : i + 1])
+        bulk = wiski_stream(model, st0, xs, ys, ns)
+        np.testing.assert_allclose(np.asarray(bulk.roots.root), np.asarray(seq.roots.root), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(bulk.roots.inv_root), np.asarray(seq.roots.inv_root), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(bulk.wty), np.asarray(seq.wty), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(bulk.ydy), np.asarray(seq.ydy), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(bulk.d_logdet), np.asarray(seq.d_logdet), atol=1e-11)
+        assert int(bulk.num_data) == int(seq.num_data)
+        if st0.roots.mat is None:
+            assert bulk.roots.mat is None
+        else:
+            np.testing.assert_allclose(np.asarray(bulk.roots.mat), np.asarray(seq.roots.mat), atol=1e-10)
+
+
+def test_wrapper_absorb_bulk_stream():
+    """OnlineSKIRegression.absorb == the update() conditioning channel."""
+    from online_gp_tpu.api.regression import OnlineSKIRegression
+    from online_gp_tpu.api.stems import IdentityStem
+
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (96, 1)).astype(np.float32)
+    y = np.sin(3 * x).astype(np.float32)
+
+    a = OnlineSKIRegression(IdentityStem(1), x[:32], y[:32], grid_size=12, slim_state=True)
+    b = OnlineSKIRegression(IdentityStem(1), x[:32], y[:32], grid_size=12, slim_state=True)
+    a.absorb(x[32:], y[32:])
+    for i in range(32, 96):
+        b.update(x[i : i + 1], y[i : i + 1], update_stem=False, update_gp=False)
+    np.testing.assert_allclose(
+        np.asarray(a.state.roots.root), np.asarray(b.state.roots.root), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(a.state.wty), np.asarray(b.state.wty), rtol=1e-4, atol=1e-6)
+    assert int(a.state.num_data) == int(b.state.num_data)
+    ra, _ = a.evaluate(x, y)
+    rb, _ = b.evaluate(x, y)
+    np.testing.assert_allclose(ra, rb, rtol=1e-3)
