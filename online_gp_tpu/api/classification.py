@@ -164,6 +164,32 @@ class OnlineSKIClassifier:
         labels = jnp.asarray(labels).reshape(-1)
         return float(jnp.mean((pred == labels).astype(jnp.float32)))
 
+    def absorb(self, inputs, labels):
+        """Bulk-absorb a labeled stream (conditioning only — no hyper/stem
+        steps): Dirichlet-transform the labels, then one exact rank-1
+        update per point through :func:`wiski_stream`."""
+        from online_gp_tpu.models.wiski import wiski_stream
+
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        labels = jnp.asarray(labels).astype(jnp.int32).reshape(-1)
+        key = ("absorb", inputs.shape[0])
+        if key not in self._jit_cache:
+            model, stem = self.model, self.stem
+            alpha_eps, C = self.alpha_eps, self.num_classes
+
+            def fn(params, stem_params, bn_state, state, x, lab):
+                targets, _, sigma2 = dirichlet_transform(lab, C, alpha_eps)
+                feats, _ = stem.apply(stem_params, bn_state, x, train=False)
+                feats = jax.lax.stop_gradient(feats)
+                return wiski_stream(model, state, feats, targets, sigma2)
+
+            self._jit_cache[key] = jax.jit(fn)
+        self.state = self._jit_cache[key](
+            self.params, self.stem_params, self.stem_state, self.state, inputs, labels
+        )
+        self.buffer.append(np.asarray(inputs))
+        return self.state
+
     def update(self, inputs, labels, update_stem: bool = True, update_gp: bool = True):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
         labels = jnp.asarray(labels).astype(jnp.int32).reshape(-1)

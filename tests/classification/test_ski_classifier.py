@@ -51,3 +51,28 @@ def test_online_eye_stem(banana):
     test_acc = clf.evaluate(te_x, te_y)
     assert cum_acc >= 0.70
     assert test_acc >= 0.75
+
+
+def test_classifier_absorb_bulk_stream():
+    """OnlineSKIClassifier.absorb == the update() conditioning channel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from online_gp_tpu.api.classification import OnlineSKIClassifier
+    from online_gp_tpu.api.stems import IdentityStem
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (96, 2)).astype(np.float32)
+    labels = (x[:, 0] * x[:, 1] > 0).astype(np.int32)
+
+    a = OnlineSKIClassifier(IdentityStem(2), x[:32], labels[:32], grid_size=8)
+    b = OnlineSKIClassifier(IdentityStem(2), x[:32], labels[:32], grid_size=8)
+    a.absorb(x[32:], labels[32:])
+    for i in range(32, 96):
+        b.update(x[i : i + 1], labels[i : i + 1], update_stem=False, update_gp=False)
+    np.testing.assert_allclose(
+        np.asarray(a.state.roots.root), np.asarray(b.state.roots.root), rtol=1e-4, atol=1e-5
+    )
+    assert int(a.state.num_data) == int(b.state.num_data)
+    acc_a = a.evaluate(x, labels)
+    acc_b = b.evaluate(x, labels)
+    assert abs(acc_a - acc_b) < 0.05 and acc_a > 0.7
