@@ -11,6 +11,10 @@ from online_gp_tpu.models.wiski import (
     wiski_fantasize,
     wiski_refresh_roots,
     wiski_check_decomposition,
+    wiski_condition_coeffs,
+    wiski_slim,
+    wiski_stream,
+    wiski_unslim,
 )
 from online_gp_tpu.models.partial_mll import sm_partial_mll
 from online_gp_tpu.models.wiski_lowrank import (
@@ -36,6 +40,10 @@ __all__ = [
     "wiski_mll",
     "wiski_predict",
     "wiski_prediction_caches",
+    "wiski_condition_coeffs",
+    "wiski_slim",
+    "wiski_stream",
+    "wiski_unslim",
     "wiski_fantasize",
     "wiski_refresh_roots",
     "wiski_check_decomposition",
