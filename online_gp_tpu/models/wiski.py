@@ -258,6 +258,7 @@ def wiski_stream(
     ys: jnp.ndarray,
     noises: jnp.ndarray,
     detach_interp: bool = True,
+    block_size: int = 128,
 ) -> WiskiState:
     """Absorb a stream of n single points — one exact rank-1 root update
     per point, identical math and order to scanning ``wiski_condition`` —
@@ -267,11 +268,15 @@ def wiski_stream(
     - interpolation stencils: one vectorized ``interp_coeffs`` call,
     - additive caches (wty / ydy / d_logdet / Gram accumulator): single
       bulk scatter-adds / reductions / matmuls over the whole stream,
-    - the roots recursion: a ``lax.scan`` whose carry is ONLY (L, B) —
-      p-gather + fused outer-product apply per step.
+    - the roots recursion: blocked into rank-``block_size`` chunks whose
+      O(m^2) work is two MXU matmuls per chunk
+      (:func:`online_gp_tpu.ops.root_update.roots_stream_blocked`); the
+      only sequential work is an O(k m)-per-step factor recursion.
 
     Args:
       xs: (n, D); ys, noises: (n, B) (or broadcastable to it).
+      block_size: deferred-update chunk rank; ``<= 1`` falls back to the
+        per-step scan over the fused rank-1 kernel.
 
     Returns the conditioned state (bit-comparable to the sequential loop
     up to f32 reassociation in the bulk reductions).
@@ -301,6 +306,38 @@ def wiski_stream(
 
         # ---- sequential roots recursion (the only order-dependent part) ----
         rn = jnp.sqrt(jnp.maximum(noise, 1e-7))  # (n, B)
+        if block_size > 1:
+            from online_gp_tpu.ops.root_update import roots_stream_blocked
+
+            wv = w[None, :, :] / rn.T[:, :, None]  # (B, n, P)
+            if B <= 8:
+                # unrolled per-output calls keep the fused scalar-prefetch
+                # Pallas chunk kernel usable (it does not vmap-batch)
+                outs = [
+                    roots_stream_blocked(
+                        state.roots.root[b],
+                        state.roots.inv_root[b],
+                        idx,
+                        wv[b],
+                        block=block_size,
+                    )
+                    for b in range(B)
+                ]
+                root = jnp.stack([o[0] for o in outs])
+                inv_root = jnp.stack([o[1] for o in outs])
+            else:
+                root, inv_root = jax.vmap(
+                    lambda Lb, Bb, wvb: roots_stream_blocked(
+                        Lb, Bb, idx, wvb, block=block_size, use_pallas=False
+                    )
+                )(state.roots.root, state.roots.inv_root, wv)
+            return WiskiState(
+                wty=wty,
+                ydy=ydy,
+                roots=RootCache(mat=new_mat, root=root, inv_root=inv_root),
+                d_logdet=d_logdet,
+                num_data=state.num_data + n,
+            )
         use_pallas = (
             detach_interp and B <= 8 and jax.default_backend() == "tpu"
         )

@@ -208,6 +208,185 @@ def pallas_rank1_update_slim(L, B, v, tile: int = 128, interpret: bool = False):
     return outs
 
 
+def _blocked_factors_kernel(p0_ref, u_out, p_out, r_out, *, k: int):
+    """Sequential factor recursion for a rank-k blocked root update, fully
+    VMEM-resident (see :func:`online_gp_tpu.ops.root_update.roots_stream_blocked`
+    for the math). Row t of the outputs holds u_t / p_col_t / r_col_t; rows
+    >= t are zero while step t runs, so full-array reductions see only the
+    populated prefix."""
+    u_out[:] = jnp.zeros_like(u_out)
+    p_out[:] = jnp.zeros_like(p_out)
+    r_out[:] = jnp.zeros_like(r_out)
+
+    def body(t, _):
+        # All contractions as VPU multiply+reduce: the (k, m) operands are
+        # small enough that MXU dot latency (not throughput) dominates, so
+        # elementwise+reduce is faster here.
+        p0 = p0_ref[pl.ds(t, 1), :]  # (1, m)
+        a = jnp.sum(p_out[:] * p0, axis=1, keepdims=True)  # (k, 1)
+        p = p0 + jnp.sum(u_out[:] * a, axis=0, keepdims=True)  # (1, m)
+        s2 = jnp.sum(p * p)
+        s = jnp.sqrt(s2)
+        inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+        u = p * inv_s
+        c = jnp.sqrt(s2 + 1.0) - 1.0
+        d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+        g = jnp.sum(u_out[:] * u, axis=1, keepdims=True)  # (k, 1)
+        p_col = d * (u + jnp.sum(p_out[:] * g, axis=0, keepdims=True))
+        r_col = c * (u + jnp.sum(r_out[:] * g, axis=0, keepdims=True))
+        u_out[pl.ds(t, 1), :] = u
+        p_out[pl.ds(t, 1), :] = p_col
+        r_out[pl.ds(t, 1), :] = r_col
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_blocked_factors(p0, interpret: bool = False):
+    """Run the rank-k blocked-update factor recursion in one kernel.
+
+    Args:
+      p0: (k, m) float32 — row t is B_chunk_start^T v_t for stream point t.
+
+    Returns (U, P, R), each (k, m) with step t in row t: the chunk's k
+    sequential rank-1 root updates compose to
+    L @ (I + R^T U) and B @ (I + P^T U).
+
+    The recursion is O(k m) per step; running it VMEM-resident removes the
+    per-step XLA launch overhead that dominates a lax.scan of tiny matvecs
+    (measured ~10 us/step of glue vs ~0.5 us of VPU work at k=32, m=900).
+    """
+    k, m = p0.shape
+    kernel = functools.partial(_blocked_factors_kernel, k=k)
+    outs = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, m), jnp.float32),
+            jax.ShapeDtypeStruct((k, m), jnp.float32),
+            jax.ShapeDtypeStruct((k, m), jnp.float32),
+        ],
+    )(p0)
+    return outs
+
+
+def _fused_chunk_kernel(
+    s_in, l_in, b_full, b_tile, l_out, b_out, p0_scr, u_scr, p_scr, r_scr,
+    *, k: int,
+):
+    """Fused rank-k blocked chunk: stencil matmul + factor recursion +
+    MXU apply, one kernel (see :func:`pallas_blocked_chunk`).
+
+    Grid is over row tiles of L/B. Step 0 additionally computes all k
+    p0 rows with one MXU matmul against the VMEM-resident inverse root
+    (P0 = S @ B, S the sparse stencil matrix) and runs the k-step factor
+    recursion, filling the (k, m) scratch factors; every step then applies
+
+        L_tile += (L_tile @ R^T) @ U,   B_tile += (B_tile @ P^T) @ U
+
+    with f32 MXU matmuls. Scratch persists across the sequential grid.
+    """
+    i = pl.program_id(0)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = jnp.zeros_like(u_scr)
+        p_scr[:] = jnp.zeros_like(p_scr)
+        r_scr[:] = jnp.zeros_like(r_scr)
+        # row t of P0 is B_chunk_start^T v_t (v_t = row t of S, sparse)
+        p0_scr[:] = jnp.dot(s_in[:], b_full[:], precision=hi)
+
+        def body(t, _):
+            p0 = p0_scr[pl.ds(t, 1), :]  # (1, m)
+            a = jnp.sum(p_scr[:] * p0, axis=1, keepdims=True)  # (k, 1)
+            p = p0 + jnp.sum(u_scr[:] * a, axis=0, keepdims=True)  # (1, m)
+            s2 = jnp.sum(p * p)
+            s = jnp.sqrt(s2)
+            inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+            u = p * inv_s
+            c = jnp.sqrt(s2 + 1.0) - 1.0
+            d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+            g = jnp.sum(u_scr[:] * u, axis=1, keepdims=True)  # (k, 1)
+            p_col = d * (u + jnp.sum(p_scr[:] * g, axis=0, keepdims=True))
+            r_col = c * (u + jnp.sum(r_scr[:] * g, axis=0, keepdims=True))
+            u_scr[pl.ds(t, 1), :] = u
+            p_scr[pl.ds(t, 1), :] = p_col
+            r_scr[pl.ds(t, 1), :] = r_col
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
+
+    lt = l_in[:]
+    t1 = jax.lax.dot_general(lt, r_scr[:], (((1,), (1,)), ((), ())), precision=hi)
+    l_out[:] = lt + jnp.dot(t1, u_scr[:], precision=hi)
+    bt = b_tile[:]
+    t2 = jax.lax.dot_general(bt, p_scr[:], (((1,), (1,)), ((), ())), precision=hi)
+    b_out[:] = bt + jnp.dot(t2, u_scr[:], precision=hi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_blocked_chunk(L, B, S, interpret: bool = False):
+    """One fused chunk of the blocked sequential-stream root update.
+
+    Computes, entirely on-chip, the k sequential rank-1 updates
+
+        L <- L (I + c_t u_t u_t^T),  B <- B (I + d_t u_t u_t^T)
+
+    for update vectors v_t = S[t] (rows of the sparse stencil matrix):
+    the inverse root stays VMEM-resident so all k p0 = B^T v_t come from
+    one MXU matmul, the factor recursion runs in VMEM scratch, and the two
+    rank-k applications are tiled f32 MXU matmuls. Per chunk, HBM traffic
+    is ~5 m^2 floats (B read twice, L read+write, B write) — ~5 m^2 / k
+    per update instead of the 4 m^2 of the per-point kernel.
+
+    Args:
+      L, B: (m, m) float32 root / inverse root.
+      S: (k, m) float32 — row t is the (sparse, scatter-built) update
+        vector: stencil weights / sqrt(noise) at the stencil indices.
+
+    Returns (L', B').
+    """
+    m = L.shape[-1]
+    k = S.shape[0]
+    tile = 128
+    grid = (pl.cdiv(m, tile),)
+    kernel = functools.partial(_fused_chunk_kernel, k=k)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ],
+    )(S, L, B, B)
+    return outs
+
+
 def pallas_root_cache_update(
     cache: RootCache, v: jnp.ndarray, interpret: bool = False
 ) -> RootCache:

@@ -169,6 +169,146 @@ def roots_apply_rank1_p(L: jnp.ndarray, B: jnp.ndarray, p: jnp.ndarray):
     return new_L, new_B
 
 
+def roots_stream_blocked(
+    L: jnp.ndarray,
+    B: jnp.ndarray,
+    idx: jnp.ndarray,
+    wv: jnp.ndarray,
+    block: int = 32,
+    use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
+):
+    """Sequential rank-1 root updates over a whole stream, blocked for the MXU.
+
+    Computes exactly the n-step recursion of :func:`roots_apply_rank1_p`
+    over sparse update vectors v_t = sum_p wv[t,p] e_{idx[t,p]} (the SKI
+    stencil), but restructured so the O(m^2) work lands on the MXU in
+    rank-``block`` chunks instead of n HBM-bound rank-1 outer products.
+
+    Key identity: each rank-1 step is a *right*-multiplication,
+
+        L_t = L_{t-1} (I + c_t u_t u_t^T),  B_t = B_{t-1} (I + d_t u_t u_t^T),
+
+    so a chunk of k steps is L_0 @ (I + R U^T) and B_0 @ (I + P U^T) where
+    U = [u_1..u_k] and the columns of R/P follow from expanding the product
+    of the symmetric rank-1 factors:
+
+        g_t   = U^T u_t             (with only columns < t populated)
+        r_t   = c_t (u_t + R g_t),  p_col_t = d_t (u_t + P g_t).
+
+    The u_t themselves need p_t = B_{t-1}^T v_t; with F_j the B-side factors,
+    B_{t-1}^T v = F_{t-1}..F_1 B_0^T v = (I + U P^T) p0_t  (F_j symmetric,
+    transposition reverses the product), so the sequential part of each step
+    is five (m, k) matvecs — O(k m) — and everything O(m^2) defers to two
+    MXU matmuls per chunk. Per-update HBM traffic drops from 4 m^2 floats to
+    ~4 m^2 / k.
+
+    This supersedes the reference's per-point ``collect_vector`` hot loop
+    (``online_gp/lazy/updated_root_lazy_tensor.py:69-119``) at identical
+    math (same factors, different associativity — fp differences only).
+
+    Args:
+      L, B: (m, m) root / inverse root.
+      idx: (n, P) int32 grid indices of the stencil points.
+      wv: (n, P) stencil weights already divided by sqrt(noise_t).
+      block: chunk size k (the deferred-update rank).
+      use_pallas: run the inner factor recursion as one VMEM-resident
+        Pallas kernel (default: on TPU for float32). The lax.scan of tiny
+        matvecs is dominated by per-step launch glue on TPU.
+      pallas_interpret: run the Pallas kernel in interpret mode (any
+        backend; used by the CPU parity tests).
+
+    Returns (L', B') after all n updates, in stream order.
+    """
+    n, P = idx.shape
+    m = L.shape[-1]
+    k = int(min(block, max(n, 1)))
+    dtype = L.dtype
+    if use_pallas is None:
+        # the fused kernel keeps the (m, m) inverse root VMEM-resident
+        # (plus 4 (k, m) scratch buffers and the L/B row tiles), so guard
+        # on a VMEM budget; larger grids take the XLA blocked path
+        use_pallas = (
+            jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
+        )
+
+    pad = (-n) % k
+    if pad:
+        # zero-weight padding points are exact no-ops: p0 = 0 -> valid = 0
+        # -> c = d = 0 and u = 0, so the appended columns vanish.
+        idx = jnp.concatenate([idx, jnp.zeros((pad, P), idx.dtype)], axis=0)
+        wv = jnp.concatenate([wv, jnp.zeros((pad, P), dtype)], axis=0)
+    nc = (n + pad) // k
+    idx_c = idx.reshape(nc, k, P)
+    wv_c = wv.reshape(nc, k, P)
+
+    def inner_step(carry, inp):
+        U, Pm, R = carry
+        p0, t = inp
+        a = jnp.einsum("mk,m->k", Pm, p0)
+        p = p0 + jnp.einsum("mk,k->m", U, a)
+        s2 = jnp.sum(p * p)
+        s = jnp.sqrt(s2)
+        safe_s = jnp.maximum(s, jnp.asarray(1e-20, dtype))
+        u = p / safe_s
+        valid = (s > 0).astype(dtype)
+        c = (jnp.sqrt(s2 + 1.0) - 1.0) * valid
+        d = (1.0 / jnp.sqrt(s2 + 1.0) - 1.0) * valid
+        g = jnp.einsum("mk,m->k", U, u)
+        p_col = d * (u + jnp.einsum("mk,k->m", Pm, g))
+        r_col = c * (u + jnp.einsum("mk,k->m", R, g))
+        U = U.at[:, t].set(u)
+        Pm = Pm.at[:, t].set(p_col)
+        R = R.at[:, t].set(r_col)
+        return (U, Pm, R), 0.0
+
+    ts = jnp.arange(k)
+
+    if use_pallas:
+        # Fused-kernel path: one pallas call per chunk (stencil matmul
+        # against the VMEM-resident inverse root + factor recursion +
+        # tiled MXU apply). The dense stencil rows S are built for the
+        # WHOLE stream before the scan — a compare-reduce (XLA scatter on
+        # TPU serializes), lax.map'd per chunk to bound the (k, P, m)
+        # broadcast intermediate. Keeping the scan body to just the
+        # pallas call lets XLA hold the (L, B) carry on-chip instead of
+        # round-tripping it through HBM every chunk.
+        from online_gp_tpu.ops.pallas_root_update import pallas_blocked_chunk
+
+        def build_s(args):
+            ic, wc = args
+            return jnp.sum(
+                (ic[:, :, None] == jnp.arange(m)[None, None, :]).astype(dtype)
+                * wc[:, :, None],
+                axis=1,
+            )
+
+        s_all = jax.lax.map(build_s, (idx_c, wv_c))  # (nc, k, m)
+
+        def chunk_step_pallas(carry, S):
+            Lc, Bc = carry
+            Lc, Bc = pallas_blocked_chunk(Lc, Bc, S, interpret=pallas_interpret)
+            return (Lc, Bc), 0.0
+
+        (L, B), _ = jax.lax.scan(chunk_step_pallas, (L, B), s_all)
+        return L, B
+
+    def chunk_step(carry, inp):
+        Lc, Bc = carry
+        ic, wc = inp  # (k, P)
+        p0 = jnp.einsum("kp,kpm->km", wc, Bc[ic])  # B_0^T v_t per point
+        z = jnp.zeros((m, k), dtype)
+        (U, Pm, R), _ = jax.lax.scan(inner_step, (z, z, z), (p0, ts))
+        U, Pm, R = U.T, Pm.T, R.T
+        Lc = Lc + (Lc @ R.T) @ U
+        Bc = Bc + (Bc @ Pm.T) @ U
+        return (Lc, Bc), 0.0
+
+    with jax.default_matmul_precision("float32"):
+        (L, B), _ = jax.lax.scan(chunk_step, (L, B), (idx_c, wv_c))
+    return L, B
+
+
 def root_cache_expand(cache: RootCache, batch_shape) -> RootCache:
     """Broadcast the cache along new leading batch dims (the reference's
     ``_expand_batch``, used for fantasy batching in q-acquisition;

@@ -8,6 +8,7 @@ predictions to the full-state stream, keep ``wiski_refresh_roots`` /
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from online_gp_tpu.config import SolverConfig
 from online_gp_tpu.kernels.base import RBFKernel
@@ -162,9 +163,12 @@ def test_slim_long_stream_f32_drift_bounded():
     assert rmse < 0.1, f"posterior degraded over the long stream: rmse {rmse}"
 
 
-def test_wiski_stream_matches_sequential():
+@pytest.mark.parametrize("block_size", [0, 1, 5, 32])
+def test_wiski_stream_matches_sequential(block_size):
     """wiski_stream's vectorized-outside-scan plan must equal scanning
-    wiski_condition point by point (f64, both slim and full states)."""
+    wiski_condition point by point (f64, both slim and full states), for
+    the per-step scan (block_size<=1) and the blocked-MXU recursion at
+    block sizes both below and above the stream length."""
     from online_gp_tpu.models.wiski import wiski_stream
 
     model, params, state, *_ = _setup()
@@ -177,7 +181,7 @@ def test_wiski_stream_matches_sequential():
         seq = st0
         for i in range(xs.shape[0]):
             seq = wiski_condition(model, seq, xs[i : i + 1], ys[i : i + 1], ns[i : i + 1])
-        bulk = wiski_stream(model, st0, xs, ys, ns)
+        bulk = wiski_stream(model, st0, xs, ys, ns, block_size=block_size)
         np.testing.assert_allclose(np.asarray(bulk.roots.root), np.asarray(seq.roots.root), atol=1e-11)
         np.testing.assert_allclose(np.asarray(bulk.roots.inv_root), np.asarray(seq.roots.inv_root), atol=1e-11)
         np.testing.assert_allclose(np.asarray(bulk.wty), np.asarray(seq.wty), atol=1e-11)

@@ -123,3 +123,57 @@ def test_slim_cache_matches_full():
     # expand handles the None leaf
     expanded = root_cache_expand(slim, (3,))
     assert expanded.mat is None and expanded.root.shape == (3, m, m)
+
+
+def test_blocked_stream_matches_sequential():
+    """roots_stream_blocked must equal the n-step rank-1 recursion for any
+    block size, including non-divisible n (zero-weight padding no-ops) and
+    a zero-weight point mid-stream."""
+    from online_gp_tpu.ops.root_update import roots_apply_rank1_p, roots_stream_blocked
+
+    rng = np.random.RandomState(0)
+    m, P, n = 30, 4, 37
+    A = _random_psd(jax.random.PRNGKey(5), m, 2 * m)
+    cache = root_cache_init(A, jitter=1e-10)
+    L0, B0 = cache.root, cache.inv_root
+    idx = jnp.asarray(rng.randint(0, m, (n, P)), jnp.int32)
+    wv = jnp.asarray(rng.randn(n, P))
+    wv = wv.at[5].set(0.0)  # degenerate point: must be an exact no-op
+
+    Ls, Bs = L0, B0
+    for t in range(n):
+        v = jnp.zeros((m,)).at[idx[t]].add(wv[t])
+        Ls, Bs = roots_apply_rank1_p(Ls, Bs, Bs.T @ v)
+
+    for k in (1, 2, 8, 32, 64):
+        Lb, Bb = roots_stream_blocked(L0, B0, idx, wv, block=k)
+        np.testing.assert_allclose(np.asarray(Lb), np.asarray(Ls), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(Bb), np.asarray(Bs), atol=1e-11)
+
+
+def test_blocked_stream_pallas_factors_interpret():
+    """The VMEM-resident Pallas factor kernel (interpret mode on CPU) must
+    match the XLA inner-scan factors through roots_stream_blocked (f32)."""
+    from online_gp_tpu.ops.root_update import roots_apply_rank1_p, roots_stream_blocked
+
+    rng = np.random.RandomState(2)
+    m, P, n = 20, 4, 21
+    A = jnp.asarray(
+        (lambda a: a @ a.T / m)(rng.randn(m, 2 * m)).astype(np.float32)
+    )
+    cache = root_cache_init(A, jitter=1e-6)
+    L0, B0 = cache.root, cache.inv_root
+    idx = jnp.asarray(rng.randint(0, m, (n, P)), jnp.int32)
+    wv = jnp.asarray(rng.randn(n, P).astype(np.float32))
+
+    Ls, Bs = L0, B0
+    for t in range(n):
+        v = jnp.zeros((m,), jnp.float32).at[idx[t]].add(wv[t])
+        Ls, Bs = roots_apply_rank1_p(Ls, Bs, Bs.T @ v)
+
+    for k in (4, 16):
+        Lp, Bp = roots_stream_blocked(
+            L0, B0, idx, wv, block=k, use_pallas=True, pallas_interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(Lp), np.asarray(Ls), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Bp), np.asarray(Bs), rtol=1e-4, atol=1e-5)
