@@ -154,7 +154,8 @@ def q_knowledge_gradient(
 def q_max_value_entropy(
     model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
     candidate_set: jnp.ndarray, key, num_max_samples: int = 16,
-    cfg: SolverConfig = DEFAULT_CONFIG,
+    cfg: SolverConfig = DEFAULT_CONFIG, num_fantasies: int = 8,
+    noise_value: float = 1.0,
 ) -> jnp.ndarray:
     """qMVES via the Gumbel max-value approximation (Wang & Jegelka 2017;
     the reference uses botorch's ``qMaxValueEntropy``,
@@ -165,7 +166,19 @@ def q_max_value_entropy(
     truncated-normal entropy-difference formula
       a(x) = E_{y*}[ gamma phi(gamma) / (2 Phi(gamma)) - log Phi(gamma) ],
       gamma = (y* - mu(x)) / sigma(x).
+
+    For q > 1 the joint gain is priced with the sequential decomposition
+    botorch's ``qMaxValueEntropy`` uses (fantasization): the batch value is
+    sum_j E[gain(x_j | fantasy observations at x_<j)], with joint fantasy
+    draws from the current posterior and O(m^2) cache conditioning per
+    fantasy — so duplicated/correlated candidates stop double-counting
+    (their conditional variance, hence gain, collapses). ``noise_value``
+    is the fantasy observation noise — pass the model's noise level;
+    redundancy is only priced relative to it (two observations of the
+    same point genuinely do carry ~2x the information when the noise
+    dwarfs the posterior variance).
     """
+    key, k_fant = jax.random.split(key)
     mean_c, var_c = wiski_predict(model, params, state, candidate_set, cfg)
     mu, sd = mean_c[0], jnp.sqrt(jnp.maximum(var_c[0], 1e-12))
 
@@ -193,13 +206,41 @@ def q_max_value_entropy(
     u = jax.random.uniform(key, (num_max_samples,), minval=1e-4, maxval=1 - 1e-4)
     y_star = a - b * jnp.log(-jnp.log(u))  # (S,)
 
-    mean_x, var_x = wiski_predict(model, params, state, x, cfg)
-    mu_x, sd_x = mean_x[0], jnp.sqrt(jnp.maximum(var_x[0], 1e-12))
-    gamma = (y_star[:, None] - mu_x[None, :]) / sd_x[None, :]
-    log_cdf = jax.scipy.stats.norm.logcdf(gamma)
-    pdf = jnp.exp(jax.scipy.stats.norm.logpdf(gamma))
-    gain = gamma * pdf / (2.0 * jnp.exp(log_cdf)) - log_cdf  # (S, q)
-    return jnp.sum(jnp.mean(gain, axis=0))
+    def gain_at(st, x_eval, ys):
+        """E_{y*} truncated-normal information gain, summed over x_eval."""
+        mean_x, var_x = wiski_predict(model, params, st, x_eval, cfg)
+        mu_x, sd_x = mean_x[0], jnp.sqrt(jnp.maximum(var_x[0], 1e-12))
+        gamma = (ys[:, None] - mu_x[None, :]) / sd_x[None, :]
+        log_cdf = jax.scipy.stats.norm.logcdf(gamma)
+        pdf = jnp.exp(jax.scipy.stats.norm.logpdf(gamma))
+        gain = gamma * pdf / (2.0 * jnp.exp(log_cdf)) - log_cdf  # (S, q')
+        return jnp.sum(jnp.mean(gain, axis=0))
+
+    q = x.shape[0]
+    if q == 1:
+        return gain_at(state, x, y_star)
+
+    # sequential fantasy decomposition: joint posterior draws at all q
+    # candidates double as the sequential fantasy observations.
+    mean_x, root_x = wiski_predict_root(model, params, state, x, cfg)
+    eps = jax.random.normal(k_fant, (num_fantasies, root_x.shape[-1]), mean_x.dtype)
+    fant_y = mean_x[0][None, :] + eps @ root_x[0].T  # (F, q)
+
+    total = gain_at(state, x[:1], y_star)
+    for j in range(1, q):
+        noise = jnp.full((j, model.num_outputs), noise_value, x.dtype)
+
+        def cond_gain(yf, _j=j, _noise=noise):
+            st = wiski_condition(
+                model, state, x[:_j], yf[:_j, None], _noise, detach_interp=False
+            )
+            # the max is at least the fantasized f values already observed
+            # (else gamma < 0 explodes the truncated-normal gain)
+            ys = jnp.maximum(y_star, jnp.max(yf[:_j]))
+            return gain_at(st, x[_j : _j + 1], ys)
+
+        total = total + jnp.mean(jax.vmap(cond_gain)(fant_y))
+    return total
 
 
 def q_negative_integrated_posterior_variance(

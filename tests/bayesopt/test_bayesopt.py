@@ -155,3 +155,37 @@ def test_bayesopt_qbatch_improves():
     out = run_bayesopt(function="Ackley", dim=2, acqf="ucb", num_steps=5, num_init=8,
                        batch_size=4, grid_size=8, fit_iters=20, seed=1, verbose=False)
     assert out["best_per_step"][-1] >= out["best_per_step"][0]
+
+
+def test_qmves_qbatch_discounts_correlated_candidates(wiski_posterior):
+    """q>1 MVES uses the sequential fantasy decomposition (botorch's
+    qMaxValueEntropy strategy): a duplicated candidate must add far less
+    gain than a distant informative one, and the q=1 path is unchanged."""
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(7)
+    cand = jax.random.uniform(jax.random.PRNGKey(8), (64, 2), minval=-1, maxval=1)
+
+    xa = jnp.asarray([[0.55, 0.55]])
+    xb = jnp.asarray([[-0.6, -0.6]])
+    # near-noiseless fantasies: a repeat observation is then worthless
+    mves = lambda X: acq.q_max_value_entropy(
+        model, params, state, X, cand, key, noise_value=1e-3)
+    va = float(mves(xa))
+    vb = float(mves(xb))
+    assert va > 0 and vb > 0
+
+    v_dup = float(mves(jnp.concatenate([xa, xa])))
+    v_two = float(mves(jnp.concatenate([xa, xb])))
+    # the duplicate's conditional gain mostly collapses (residual set by
+    # the grid's interpolation resolution and the fantasy-noise floor);
+    # the marginal form would give exactly 2x
+    assert v_dup < va + 0.5 * va
+    # joint MES is NOT additive (xa sits near the optimum, so its
+    # fantasies raise y* and shrink everyone else's gain) but per-point
+    # gains are nonnegative: the batch is at least its first point
+    assert v_two >= va - 1e-6
+    assert v_dup >= va - 1e-6
+
+    g = jax.grad(lambda X: acq.q_max_value_entropy(
+        model, params, state, X, cand, key, noise_value=1e-3))(jnp.concatenate([xa, xb]))
+    assert jnp.all(jnp.isfinite(g)) and float(jnp.abs(g).max()) > 0
