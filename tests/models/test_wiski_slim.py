@@ -216,3 +216,39 @@ def test_wrapper_absorb_bulk_stream():
     ra, _ = a.evaluate(x, y)
     rb, _ = b.evaluate(x, y)
     np.testing.assert_allclose(ra, rb, rtol=1e-3)
+
+
+def test_long_stream_blocked_f32_with_refresh():
+    """Same long-stream drift guard for the blocked-product bulk path
+    (wiski_stream, f32): 20k points through rank-128 chunks with periodic
+    root refreshes must keep B^T L ~= I and a sane posterior."""
+    grid = Grid.create([(-1.2, 1.2)], 16, dtype=jnp.float32)
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
+    params = model.init_params(1, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (64, 1), jnp.float32, -1, 1)
+    y0 = jnp.sin(2.5 * x0)
+    state = wiski_slim(wiski_init(model, x0, y0, jnp.ones_like(y0)))
+
+    from online_gp_tpu.models.wiski import wiski_stream
+
+    n, refresh_every = 20_000, 4_000
+    xs = jax.random.uniform(jax.random.fold_in(key, 1), (n, 1), jnp.float32, -1, 1)
+    ys = jnp.sin(2.5 * xs)
+
+    absorb = jax.jit(
+        lambda st, xb, yb: wiski_stream(model, st, xb, yb, jnp.ones_like(yb))
+    )
+    for start in range(0, n, refresh_every):
+        state = absorb(state, xs[start : start + refresh_every],
+                       ys[start : start + refresh_every])
+        state = wiski_refresh_roots(state)
+
+    health = wiski_check_decomposition(state)
+    assert float(health["inverse_root_err"][0]) < 1e-2
+    xt = jnp.linspace(-0.9, 0.9, 64, dtype=jnp.float32)[:, None]
+    mean, var = wiski_predict(model, params, state, xt, CFG)
+    rmse = float(jnp.sqrt(jnp.mean((mean[0] - jnp.sin(2.5 * xt)[:, 0]) ** 2)))
+    assert jnp.isfinite(mean).all() and jnp.isfinite(var).all()
+    assert float(var.min()) > 0
+    assert rmse < 0.1, f"posterior degraded over the blocked long stream: rmse {rmse}"
