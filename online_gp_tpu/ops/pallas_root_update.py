@@ -208,75 +208,6 @@ def pallas_rank1_update_slim(L, B, v, tile: int = 128, interpret: bool = False):
     return outs
 
 
-def _blocked_factors_kernel(p0_ref, u_out, p_out, r_out, *, k: int):
-    """Sequential factor recursion for a rank-k blocked root update, fully
-    VMEM-resident (see :func:`online_gp_tpu.ops.root_update.roots_stream_blocked`
-    for the math). Row t of the outputs holds u_t / p_col_t / r_col_t; rows
-    >= t are zero while step t runs, so full-array reductions see only the
-    populated prefix."""
-    u_out[:] = jnp.zeros_like(u_out)
-    p_out[:] = jnp.zeros_like(p_out)
-    r_out[:] = jnp.zeros_like(r_out)
-
-    def body(t, _):
-        # All contractions as VPU multiply+reduce: the (k, m) operands are
-        # small enough that MXU dot latency (not throughput) dominates, so
-        # elementwise+reduce is faster here.
-        p0 = p0_ref[pl.ds(t, 1), :]  # (1, m)
-        a = jnp.sum(p_out[:] * p0, axis=1, keepdims=True)  # (k, 1)
-        p = p0 + jnp.sum(u_out[:] * a, axis=0, keepdims=True)  # (1, m)
-        s2 = jnp.sum(p * p)
-        s = jnp.sqrt(s2)
-        inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
-        u = p * inv_s
-        c = jnp.sqrt(s2 + 1.0) - 1.0
-        d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
-        g = jnp.sum(u_out[:] * u, axis=1, keepdims=True)  # (k, 1)
-        p_col = d * (u + jnp.sum(p_out[:] * g, axis=0, keepdims=True))
-        r_col = c * (u + jnp.sum(r_out[:] * g, axis=0, keepdims=True))
-        u_out[pl.ds(t, 1), :] = u
-        p_out[pl.ds(t, 1), :] = p_col
-        r_out[pl.ds(t, 1), :] = r_col
-        return 0
-
-    jax.lax.fori_loop(0, k, body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_blocked_factors(p0, interpret: bool = False):
-    """Run the rank-k blocked-update factor recursion in one kernel.
-
-    Args:
-      p0: (k, m) float32 — row t is B_chunk_start^T v_t for stream point t.
-
-    Returns (U, P, R), each (k, m) with step t in row t: the chunk's k
-    sequential rank-1 root updates compose to
-    L @ (I + R^T U) and B @ (I + P^T U).
-
-    The recursion is O(k m) per step; running it VMEM-resident removes the
-    per-step XLA launch overhead that dominates a lax.scan of tiny matvecs
-    (measured ~10 us/step of glue vs ~0.5 us of VPU work at k=32, m=900).
-    """
-    k, m = p0.shape
-    kernel = functools.partial(_blocked_factors_kernel, k=k)
-    outs = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k, m), jnp.float32),
-            jax.ShapeDtypeStruct((k, m), jnp.float32),
-            jax.ShapeDtypeStruct((k, m), jnp.float32),
-        ],
-    )(p0)
-    return outs
-
-
 def _fused_chunk_kernel(
     s_in, l_in, b_full, b_tile, l_out, b_out, p0_scr, u_scr, p_scr, r_scr,
     *, k: int,

@@ -169,6 +169,51 @@ def roots_apply_rank1_p(L: jnp.ndarray, B: jnp.ndarray, p: jnp.ndarray):
     return new_L, new_B
 
 
+def stencil_rows(idx: jnp.ndarray, wv: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Densify sparse stencil rows: (k, P) indices/weights -> (k, m) with
+    row t = sum_p wv[t,p] e_{idx[t,p]}. Implemented as a compare-reduce
+    (XLA scatter on TPU serializes; this is 3 vectorized VPU passes)."""
+    return jnp.sum(
+        (idx[:, :, None] == jnp.arange(m)[None, None, :]).astype(wv.dtype)
+        * wv[:, :, None],
+        axis=1,
+    )
+
+
+def blocked_factors_xla(p0: jnp.ndarray):
+    """Factor recursion for one rank-k blocked chunk, pure XLA (any
+    backend/dtype): given p0 (k, m) with row t = B_chunk_start^T v_t,
+    returns (U, P, R), each (k, m) row-layout, such that the chunk's k
+    sequential rank-1 root updates compose to L(I + R^T U), B(I + P^T U).
+    See :func:`roots_stream_blocked` for the derivation."""
+    k, m = p0.shape
+    dtype = p0.dtype
+
+    def inner_step(carry, inp):
+        U, Pm, R = carry
+        p0_t, t = inp
+        a = jnp.einsum("mk,m->k", Pm, p0_t)
+        p = p0_t + jnp.einsum("mk,k->m", U, a)
+        s2 = jnp.sum(p * p)
+        s = jnp.sqrt(s2)
+        safe_s = jnp.maximum(s, jnp.asarray(1e-20, dtype))
+        u = p / safe_s
+        valid = (s > 0).astype(dtype)
+        c = (jnp.sqrt(s2 + 1.0) - 1.0) * valid
+        d = (1.0 / jnp.sqrt(s2 + 1.0) - 1.0) * valid
+        g = jnp.einsum("mk,m->k", U, u)
+        p_col = d * (u + jnp.einsum("mk,k->m", Pm, g))
+        r_col = c * (u + jnp.einsum("mk,k->m", R, g))
+        U = U.at[:, t].set(u)
+        Pm = Pm.at[:, t].set(p_col)
+        R = R.at[:, t].set(r_col)
+        return (U, Pm, R), 0.0
+
+    z = jnp.zeros((m, k), dtype)
+    (U, Pm, R), _ = jax.lax.scan(inner_step, (z, z, z), (p0, jnp.arange(k)))
+    return U.T, Pm.T, R.T
+
+
 def roots_stream_blocked(
     L: jnp.ndarray,
     B: jnp.ndarray,
@@ -242,28 +287,6 @@ def roots_stream_blocked(
     idx_c = idx.reshape(nc, k, P)
     wv_c = wv.reshape(nc, k, P)
 
-    def inner_step(carry, inp):
-        U, Pm, R = carry
-        p0, t = inp
-        a = jnp.einsum("mk,m->k", Pm, p0)
-        p = p0 + jnp.einsum("mk,k->m", U, a)
-        s2 = jnp.sum(p * p)
-        s = jnp.sqrt(s2)
-        safe_s = jnp.maximum(s, jnp.asarray(1e-20, dtype))
-        u = p / safe_s
-        valid = (s > 0).astype(dtype)
-        c = (jnp.sqrt(s2 + 1.0) - 1.0) * valid
-        d = (1.0 / jnp.sqrt(s2 + 1.0) - 1.0) * valid
-        g = jnp.einsum("mk,m->k", U, u)
-        p_col = d * (u + jnp.einsum("mk,k->m", Pm, g))
-        r_col = c * (u + jnp.einsum("mk,k->m", R, g))
-        U = U.at[:, t].set(u)
-        Pm = Pm.at[:, t].set(p_col)
-        R = R.at[:, t].set(r_col)
-        return (U, Pm, R), 0.0
-
-    ts = jnp.arange(k)
-
     if use_pallas:
         # Fused-kernel path: one pallas call per chunk (stencil matmul
         # against the VMEM-resident inverse root + factor recursion +
@@ -275,15 +298,9 @@ def roots_stream_blocked(
         # round-tripping it through HBM every chunk.
         from online_gp_tpu.ops.pallas_root_update import pallas_blocked_chunk
 
-        def build_s(args):
-            ic, wc = args
-            return jnp.sum(
-                (ic[:, :, None] == jnp.arange(m)[None, None, :]).astype(dtype)
-                * wc[:, :, None],
-                axis=1,
-            )
-
-        s_all = jax.lax.map(build_s, (idx_c, wv_c))  # (nc, k, m)
+        s_all = jax.lax.map(
+            lambda args: stencil_rows(args[0], args[1], m), (idx_c, wv_c)
+        )  # (nc, k, m)
 
         def chunk_step_pallas(carry, S):
             Lc, Bc = carry
@@ -297,9 +314,7 @@ def roots_stream_blocked(
         Lc, Bc = carry
         ic, wc = inp  # (k, P)
         p0 = jnp.einsum("kp,kpm->km", wc, Bc[ic])  # B_0^T v_t per point
-        z = jnp.zeros((m, k), dtype)
-        (U, Pm, R), _ = jax.lax.scan(inner_step, (z, z, z), (p0, ts))
-        U, Pm, R = U.T, Pm.T, R.T
+        U, Pm, R = blocked_factors_xla(p0)
         Lc = Lc + (Lc @ R.T) @ U
         Bc = Bc + (Bc @ Pm.T) @ U
         return (Lc, Bc), 0.0

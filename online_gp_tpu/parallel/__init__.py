@@ -3,6 +3,13 @@ from online_gp_tpu.parallel.mesh import (
     shard_leading,
     replicate,
     batched_trials_step,
+    sharded_stream_blocked,
 )
 
-__all__ = ["make_mesh", "shard_leading", "replicate", "batched_trials_step"]
+__all__ = [
+    "make_mesh",
+    "shard_leading",
+    "replicate",
+    "batched_trials_step",
+    "sharded_stream_blocked",
+]

@@ -55,6 +55,91 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
+def sharded_stream_blocked(
+    L: jnp.ndarray,
+    B: jnp.ndarray,
+    idx: jnp.ndarray,
+    wv: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "tp",
+    block: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tensor-parallel blocked streaming root updates: the (m, m) root and
+    inverse root are ROW-sharded over ``axis_name`` and updated in place by
+    the same blocked-product recursion as
+    :func:`online_gp_tpu.ops.root_update.roots_stream_blocked`.
+
+    Communication per rank-k chunk is ONE psum of the (k, m) p0 block
+    (each device contributes S[:, local_rows] @ B[local_rows, :]); the
+    factor recursion is replicated (O(k^2 m), tiny), and both rank-k
+    applications contract over the FULL column axis, which every row
+    shard holds — so they are entirely local. This scales WISKI's dense
+    O(m^2) streaming regime past one chip's HBM/VMEM: per-device state is
+    2 m^2/d floats and per-update traffic ~5 m^2/(k d).
+
+    The reference has no distributed path at all (SURVEY.md §2.14); this
+    is the TPU-native extension for grids beyond single-chip capacity.
+
+    Args:
+      L, B: (m, m) arrays (may be given replicated or sharded; they are
+        re-placed row-sharded). m must divide evenly by the mesh axis size.
+      idx, wv: (n, P) stencil indices / noise-scaled weights.
+      mesh: mesh containing ``axis_name``.
+
+    Returns (L', B') row-sharded over ``axis_name``.
+    """
+    from jax.sharding import NamedSharding
+    from online_gp_tpu.ops.root_update import blocked_factors_xla, stencil_rows
+
+    m = L.shape[-1]
+    d = mesh.shape[axis_name]
+    if m % d != 0:
+        raise ValueError(f"grid size m={m} must divide by mesh axis size {d}")
+    rows_per = m // d
+    n, n_stencil = idx.shape
+    k = int(min(block, max(n, 1)))
+    pad = (-n) % k
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad, n_stencil), idx.dtype)], axis=0)
+        wv = jnp.concatenate([wv, jnp.zeros((pad, n_stencil), wv.dtype)], axis=0)
+    nc = (n + pad) // k
+    idx_c = idx.reshape(nc, k, n_stencil)
+    wv_c = wv.reshape(nc, k, n_stencil)
+
+    row_sharded = NamedSharding(mesh, P_spec := P(axis_name, None))
+    L = jax.device_put(L, row_sharded)
+    B = jax.device_put(B, row_sharded)
+
+    def local_stream(Ll, Bl, idx_c, wv_c):
+        did = jax.lax.axis_index(axis_name)
+
+        def chunk_step(carry, inp):
+            Lc, Bc = carry
+            ic, wc = inp
+            S = stencil_rows(ic, wc, m)  # (k, m), replicated compute
+            zero = jnp.zeros((), did.dtype)
+            S_loc = jax.lax.dynamic_slice(
+                S, (zero, did * jnp.asarray(rows_per, did.dtype)), (k, rows_per)
+            )
+            p0 = jax.lax.psum(S_loc @ Bc, axis_name)  # (k, m)
+            U, Pm, R = blocked_factors_xla(p0)
+            Lc = Lc + (Lc @ R.T) @ U
+            Bc = Bc + (Bc @ Pm.T) @ U
+            return (Lc, Bc), 0.0
+
+        with jax.default_matmul_precision("float32"):
+            (Ll, Bl), _ = jax.lax.scan(chunk_step, (Ll, Bl), (idx_c, wv_c))
+        return Ll, Bl
+
+    fn = jax.shard_map(
+        local_stream,
+        mesh=mesh,
+        in_specs=(P_spec, P_spec, P(), P()),
+        out_specs=(P_spec, P_spec),
+    )
+    return fn(L, B, idx_c, wv_c)
+
+
 def batched_trials_step(
     model: WiskiModel,
     optimizer: optax.GradientTransformation,

@@ -151,9 +151,9 @@ def test_blocked_stream_matches_sequential():
         np.testing.assert_allclose(np.asarray(Bb), np.asarray(Bs), atol=1e-11)
 
 
-def test_blocked_stream_pallas_factors_interpret():
-    """The VMEM-resident Pallas factor kernel (interpret mode on CPU) must
-    match the XLA inner-scan factors through roots_stream_blocked (f32)."""
+def test_blocked_stream_pallas_chunk_interpret():
+    """The fused Pallas chunk kernel (interpret mode on CPU) must match
+    the sequential rank-1 recursion through roots_stream_blocked (f32)."""
     from online_gp_tpu.ops.root_update import roots_apply_rank1_p, roots_stream_blocked
 
     rng = np.random.RandomState(2)

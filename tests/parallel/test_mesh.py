@@ -128,3 +128,31 @@ def test_grid_shard_axis_constraint():
     np.testing.assert_allclose(np.asarray(mean), np.asarray(base_mean), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(base_var), rtol=1e-4, atol=1e-6)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_sharded_stream_blocked_matches_single_device():
+    """Tensor-parallel blocked streaming (row-sharded L/B, one psum per
+    chunk) must match the single-device blocked recursion exactly."""
+    from online_gp_tpu.ops.interp import interp_coeffs
+    from online_gp_tpu.ops.root_update import roots_stream_blocked
+    from online_gp_tpu.parallel.mesh import sharded_stream_blocked
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev, axis_name="tp")
+    grid = Grid.create([(-1.1, 1.1)], 16)  # m = 16, divides by 4 and 8
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (24, 1), minval=-1, maxval=1)
+    y0 = jnp.sin(2 * x0)
+    state = wiski_init(model, x0, y0, jnp.ones_like(y0))
+    L0, B0 = state.roots.root[0], state.roots.inv_root[0]
+
+    xs = jax.random.uniform(jax.random.fold_in(key, 1), (37, 1), minval=-1, maxval=1)
+    idx, wv = interp_coeffs(model.grid, xs, detach=True)
+
+    L_ref, B_ref = roots_stream_blocked(L0, B0, idx, wv, block=8, use_pallas=False)
+    L_sh, B_sh = sharded_stream_blocked(L0, B0, idx, wv, mesh, block=8)
+    assert "tp" in str(L_sh.sharding) or n_dev == 1
+    np.testing.assert_allclose(np.asarray(L_sh), np.asarray(L_ref), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B_sh), np.asarray(B_ref), rtol=1e-10, atol=1e-12)
