@@ -107,9 +107,7 @@ def q_knowledge_gradient(
     sensitivity of the inner max to its argmax location vanishes at the
     optimum, so the optimized location is wrapped in stop_gradient and the
     X-gradient flows purely through the fantasy-conditioned caches."""
-    mean, root = wiski_predict_root(model, params, state, x, cfg)
-    eps = jax.random.normal(key, (num_fantasies, root.shape[-1]), mean.dtype)
-    fant_y = mean[0][None, :] + eps @ root[0].T  # (F, q)
+    fant_y = _joint_samples(model, params, state, x, key, num_fantasies, cfg)  # (F, q)
     cfg_mean = cfg.replace(skip_posterior_variances=True)
     lo = jnp.min(x_discrete, axis=0)
     hi = jnp.max(x_discrete, axis=0)
@@ -221,26 +219,38 @@ def q_max_value_entropy(
         return gain_at(state, x, y_star)
 
     # sequential fantasy decomposition: joint posterior draws at all q
-    # candidates double as the sequential fantasy observations.
-    mean_x, root_x = wiski_predict_root(model, params, state, x, cfg)
-    eps = jax.random.normal(k_fant, (num_fantasies, root_x.shape[-1]), mean_x.dtype)
-    fant_y = mean_x[0][None, :] + eps @ root_x[0].T  # (F, q)
+    # candidates double as the sequential fantasy observations. States are
+    # conditioned INCREMENTALLY (one point per scan step, carried per
+    # fantasy) — identical posteriors to conditioning each prefix jointly,
+    # at O(F q m^2) with a single traced conditioning.
+    fant_y = _joint_samples(model, params, state, x, k_fant, num_fantasies, cfg)
+    noise1 = jnp.full((1, model.num_outputs), noise_value, x.dtype)
 
-    total = gain_at(state, x[:1], y_star)
-    for j in range(1, q):
-        noise = jnp.full((j, model.num_outputs), noise_value, x.dtype)
+    def cond_one(st, xj, yj):
+        return wiski_condition(
+            model, st, xj[None], yj[None, None], noise1, detach_interp=False
+        )
 
-        def cond_gain(yf, _j=j, _noise=noise):
-            st = wiski_condition(
-                model, state, x[:_j], yf[:_j, None], _noise, detach_interp=False
-            )
-            # the max is at least the fantasized f values already observed
-            # (else gamma < 0 explodes the truncated-normal gain)
-            ys = jnp.maximum(y_star, jnp.max(yf[:_j]))
-            return gain_at(st, x[_j : _j + 1], ys)
+    def scan_body(carry, j):
+        sts, run_max = carry  # per-fantasy states; running max of fantasies
+        xj = jax.lax.dynamic_slice_in_dim(x, j - 1, 1, axis=0)[0]
+        yj = jax.lax.dynamic_slice_in_dim(fant_y, j - 1, 1, axis=1)[:, 0]
+        sts = jax.vmap(lambda st, yv: cond_one(st, xj, yv))(sts, yj)
+        # the max is at least the fantasized f values already observed
+        # (else gamma < 0 explodes the truncated-normal gain)
+        run_max = jnp.maximum(run_max, yj)
+        x_next = jax.lax.dynamic_slice_in_dim(x, j, 1, axis=0)
+        gains = jax.vmap(
+            lambda st, rm: gain_at(st, x_next, jnp.maximum(y_star, rm))
+        )(sts, run_max)
+        return (sts, run_max), jnp.mean(gains)
 
-        total = total + jnp.mean(jax.vmap(cond_gain)(fant_y))
-    return total
+    sts0 = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (num_fantasies,) + a.shape), state
+    )
+    run_max0 = jnp.full((num_fantasies,), -jnp.inf, fant_y.dtype)
+    _, step_gains = jax.lax.scan(scan_body, (sts0, run_max0), jnp.arange(1, q))
+    return gain_at(state, x[:1], y_star) + jnp.sum(step_gains)
 
 
 def q_negative_integrated_posterior_variance(

@@ -114,7 +114,10 @@ def run_bayesopt(
         elif acqf == "mves":
             key, k_disc = jax.random.split(key)
             cand = jax.random.uniform(k_disc, (512, dim), minval=-1.0, maxval=1.0)
-            fn_acq = lambda X: acq.q_max_value_entropy(model, params, state, X, cand, k_acq, 16, cfg)
+            fn_acq = lambda X: acq.q_max_value_entropy(
+                model, params, state, X, cand, k_acq, 16, cfg,
+                noise_value=noise_std**2,
+            )
         else:
             raise ValueError(f"unknown acquisition {acqf!r} (ucb/ei/nei/kg/mves)")
 

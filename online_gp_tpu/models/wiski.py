@@ -311,8 +311,10 @@ def wiski_stream(
 
             wv = w[None, :, :] / rn.T[:, :, None]  # (B, n, P)
             if B <= 8:
-                # unrolled per-output calls keep the fused scalar-prefetch
-                # Pallas chunk kernel usable (it does not vmap-batch)
+                # unrolled per-output calls keep the fused Pallas chunk
+                # kernel usable (it does not vmap-batch). The kernel has
+                # no autodiff rules, so the differentiable-interp path
+                # (fantasy acquisitions) must stay on XLA.
                 outs = [
                     roots_stream_blocked(
                         state.roots.root[b],
@@ -320,6 +322,7 @@ def wiski_stream(
                         idx,
                         wv[b],
                         block=block_size,
+                        use_pallas=None if detach_interp else False,
                     )
                     for b in range(B)
                 ]

@@ -214,6 +214,22 @@ def blocked_factors_xla(p0: jnp.ndarray):
     return U.T, Pm.T, R.T
 
 
+def pad_and_chunk_stream(idx: jnp.ndarray, wv: jnp.ndarray, block: int):
+    """Zero-pad a stencil stream to a multiple of the chunk rank and
+    reshape to (nc, k, P). Zero-weight padding points are exact no-ops in
+    the blocked recursion: p0 = 0 -> valid = 0 -> c = d = 0 and u = 0, so
+    the appended factor columns vanish. Shared by the single-device and
+    mesh-sharded blocked streams."""
+    n, P = idx.shape
+    k = int(min(block, max(n, 1)))
+    pad = (-n) % k
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad, P), idx.dtype)], axis=0)
+        wv = jnp.concatenate([wv, jnp.zeros((pad, P), wv.dtype)], axis=0)
+    nc = (n + pad) // k
+    return idx.reshape(nc, k, P), wv.reshape(nc, k, P), k
+
+
 def roots_stream_blocked(
     L: jnp.ndarray,
     B: jnp.ndarray,
@@ -265,9 +281,7 @@ def roots_stream_blocked(
 
     Returns (L', B') after all n updates, in stream order.
     """
-    n, P = idx.shape
     m = L.shape[-1]
-    k = int(min(block, max(n, 1)))
     dtype = L.dtype
     if use_pallas is None:
         # the fused kernel keeps the (m, m) inverse root VMEM-resident
@@ -276,38 +290,40 @@ def roots_stream_blocked(
         use_pallas = (
             jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
         )
+    if use_pallas and dtype != jnp.float32:
+        raise TypeError(
+            f"the fused Pallas chunk kernel is float32-only (got {dtype}); "
+            "pass use_pallas=False for other dtypes"
+        )
 
-    pad = (-n) % k
-    if pad:
-        # zero-weight padding points are exact no-ops: p0 = 0 -> valid = 0
-        # -> c = d = 0 and u = 0, so the appended columns vanish.
-        idx = jnp.concatenate([idx, jnp.zeros((pad, P), idx.dtype)], axis=0)
-        wv = jnp.concatenate([wv, jnp.zeros((pad, P), dtype)], axis=0)
-    nc = (n + pad) // k
-    idx_c = idx.reshape(nc, k, P)
-    wv_c = wv.reshape(nc, k, P)
+    idx_c, wv_c, k = pad_and_chunk_stream(idx, wv, block)
+    nc = idx_c.shape[0]
 
     if use_pallas:
         # Fused-kernel path: one pallas call per chunk (stencil matmul
         # against the VMEM-resident inverse root + factor recursion +
-        # tiled MXU apply). The dense stencil rows S are built for the
-        # WHOLE stream before the scan — a compare-reduce (XLA scatter on
-        # TPU serializes), lax.map'd per chunk to bound the (k, P, m)
-        # broadcast intermediate. Keeping the scan body to just the
-        # pallas call lets XLA hold the (L, B) carry on-chip instead of
-        # round-tripping it through HBM every chunk.
+        # tiled MXU apply). The dense stencil rows S are built BEFORE the
+        # scan — a compare-reduce (XLA scatter on TPU serializes),
+        # lax.map'd per chunk to bound the (k, P, m) broadcast
+        # intermediate. Keeping the scan body to just the pallas call lets
+        # XLA hold the (L, B) carry on-chip instead of round-tripping it
+        # through HBM every chunk (measured ~15x). The hoisted S buffer is
+        # O(n m), so very long streams are processed in bounded segments.
         from online_gp_tpu.ops.pallas_root_update import pallas_blocked_chunk
-
-        s_all = jax.lax.map(
-            lambda args: stencil_rows(args[0], args[1], m), (idx_c, wv_c)
-        )  # (nc, k, m)
 
         def chunk_step_pallas(carry, S):
             Lc, Bc = carry
             Lc, Bc = pallas_blocked_chunk(Lc, Bc, S, interpret=pallas_interpret)
             return (Lc, Bc), 0.0
 
-        (L, B), _ = jax.lax.scan(chunk_step_pallas, (L, B), s_all)
+        seg_chunks = max(1, (16384 + k - 1) // k)  # <= ~64 MB of S at m=1280
+        for c0 in range(0, nc, seg_chunks):
+            idx_s = idx_c[c0 : c0 + seg_chunks]
+            wv_s = wv_c[c0 : c0 + seg_chunks]
+            s_seg = jax.lax.map(
+                lambda args: stencil_rows(args[0], args[1], m), (idx_s, wv_s)
+            )  # (<=seg_chunks, k, m)
+            (L, B), _ = jax.lax.scan(chunk_step_pallas, (L, B), s_seg)
         return L, B
 
     def chunk_step(carry, inp):

@@ -88,23 +88,18 @@ def sharded_stream_blocked(
 
     Returns (L', B') row-sharded over ``axis_name``.
     """
-    from jax.sharding import NamedSharding
-    from online_gp_tpu.ops.root_update import blocked_factors_xla, stencil_rows
+    from online_gp_tpu.ops.root_update import (
+        blocked_factors_xla,
+        pad_and_chunk_stream,
+        stencil_rows,
+    )
 
     m = L.shape[-1]
     d = mesh.shape[axis_name]
     if m % d != 0:
         raise ValueError(f"grid size m={m} must divide by mesh axis size {d}")
     rows_per = m // d
-    n, n_stencil = idx.shape
-    k = int(min(block, max(n, 1)))
-    pad = (-n) % k
-    if pad:
-        idx = jnp.concatenate([idx, jnp.zeros((pad, n_stencil), idx.dtype)], axis=0)
-        wv = jnp.concatenate([wv, jnp.zeros((pad, n_stencil), wv.dtype)], axis=0)
-    nc = (n + pad) // k
-    idx_c = idx.reshape(nc, k, n_stencil)
-    wv_c = wv.reshape(nc, k, n_stencil)
+    idx_c, wv_c, k = pad_and_chunk_stream(idx, wv, block)
 
     row_sharded = NamedSharding(mesh, P_spec := P(axis_name, None))
     L = jax.device_put(L, row_sharded)
@@ -116,11 +111,11 @@ def sharded_stream_blocked(
         def chunk_step(carry, inp):
             Lc, Bc = carry
             ic, wc = inp
-            S = stencil_rows(ic, wc, m)  # (k, m), replicated compute
-            zero = jnp.zeros((), did.dtype)
-            S_loc = jax.lax.dynamic_slice(
-                S, (zero, did * jnp.asarray(rows_per, did.dtype)), (k, rows_per)
-            )
+            # densify only this device's column slice: indices shifted
+            # into [0, rows_per) match; out-of-shard stencil points fall
+            # outside and produce zero rows, so the slice is exact at
+            # O(k P m / d) per device.
+            S_loc = stencil_rows(ic - did * rows_per, wc, rows_per)  # (k, m/d)
             p0 = jax.lax.psum(S_loc @ Bc, axis_name)  # (k, m)
             U, Pm, R = blocked_factors_xla(p0)
             Lc = Lc + (Lc @ R.T) @ U
