@@ -39,7 +39,9 @@ from online_gp_tpu.models.wiski import (
     wiski_init,
     wiski_condition,
     wiski_mll,
+    wiski_pred_cache_condition,
     wiski_predict,
+    wiski_prediction_caches,
     wiski_slim,
     wiski_stream,
 )
@@ -177,6 +179,12 @@ class OnlineSKIRegression:
         self.refresh_roots_every = refresh_roots_every
         self._updates_since_refresh = 0
         self._jit_cache: Dict = {}
+        # grid-space predictive caches (mean, cov): built lazily on the
+        # first predict, reused across predicts, conditioned in O(m^2) on
+        # hyper-free updates, invalidated whenever params/stem/state move
+        # under them. The reference rebuilds these O(m^3) caches after
+        # every update (its memo cache is dumped by condition/zero_grad).
+        self._pred_caches = None
 
     # -- jitted building blocks -------------------------------------------
 
@@ -231,9 +239,9 @@ class OnlineSKIRegression:
         model, cfg, stem = self.model, self.cfg, self.stem
         cfg_eval = cfg.replace(detach_interp_coeff=True)
 
-        def fn(params, stem_params, bn_state, state, x):
+        def fn(params, stem_params, bn_state, state, caches, x):
             feats, _ = stem.apply(stem_params, bn_state, x, train=False)
-            mean, var = wiski_predict(model, params, state, feats, cfg_eval)
+            mean, var = wiski_predict(model, params, state, feats, cfg_eval, caches=caches)
             s2 = jnp.exp(params["raw_second_noise"])
             var = var + s2[:, None]
             return mean.T, var.T  # (n, T)
@@ -241,6 +249,37 @@ class OnlineSKIRegression:
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
         return jitted
+
+    def _ensure_pred_caches(self):
+        """Build (or reuse) the grid-space predictive caches."""
+        if self._pred_caches is None:
+            key = "pred_caches"
+            if key not in self._jit_cache:
+                model, cfg = self.model, self.cfg
+                cfg_eval = cfg.replace(detach_interp_coeff=True)
+                self._jit_cache[key] = jax.jit(
+                    lambda params, state: wiski_prediction_caches(
+                        model, params, state, cfg_eval
+                    )
+                )
+            self._pred_caches = self._jit_cache[key](self.params, self.state)
+        return self._pred_caches
+
+    def _pc_condition_fn(self, q: int):
+        """O(m^2 q) incremental conditioning of the predictive caches."""
+        key = ("pc_cond", q)
+        if key not in self._jit_cache:
+            model, stem = self.model, self.stem
+
+            def fn(stem_params, bn_state, caches, x, y):
+                feats, _ = stem.apply(stem_params, bn_state, x, train=False)
+                feats = jax.lax.stop_gradient(feats)
+                return wiski_pred_cache_condition(
+                    model, caches, feats, y, jnp.ones_like(y)
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     def _bn_refresh_fn(self, q: int):
         key = ("bn", q)
@@ -260,8 +299,9 @@ class OnlineSKIRegression:
 
     def predict(self, inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        caches = self._ensure_pred_caches()
         fn = self._predict_fn(inputs.shape[0])
-        return fn(self.params, self.stem_params, self.stem_state, self.state, inputs)
+        return fn(self.params, self.stem_params, self.stem_state, self.state, caches, inputs)
 
     def evaluate(self, inputs, targets) -> Tuple[float, float]:
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
@@ -292,6 +332,16 @@ class OnlineSKIRegression:
             inputs,
             targets,
         )
+        hyper_moved = update_gp or (update_stem and self.stem.has_params)
+        if hyper_moved:
+            self._pred_caches = None
+        elif self._pred_caches is not None:
+            # conditioning-only update: O(m^2) exact rank-q conditioning of
+            # the predictive caches instead of an O(m^3) rebuild at the
+            # next predict
+            self._pred_caches = self._pc_condition_fn(inputs.shape[0])(
+                self.stem_params, self.stem_state, self._pred_caches, inputs, targets
+            )
         self.buffer.append(np.asarray(inputs))
         self._updates_since_refresh += 1
         if self.refresh_roots_every and self._updates_since_refresh >= self.refresh_roots_every:
@@ -329,6 +379,7 @@ class OnlineSKIRegression:
         self.state = self._jit_cache[key](
             self.params, self.stem_params, self.stem_state, self.state, inputs, targets
         )
+        self._pred_caches = None
         self.buffer.append(np.asarray(inputs))
         return self.state
 
@@ -396,6 +447,7 @@ class OnlineSKIRegression:
         feats, _ = self.stem.apply(self.stem_params, self.stem_state, inputs, train=False)
         feats = jax.lax.stop_gradient(feats)
         self.state = self._init_fn(feats, targets, jnp.ones_like(targets))
+        self._pred_caches = None
 
     def set_train_data(self, inputs, targets):
         self._refresh_state(

@@ -768,6 +768,70 @@ def wiski_predict_root(
     return mean, root
 
 
+def wiski_pred_cache_condition(
+    model: WiskiModel,
+    caches: Tuple[jnp.ndarray, jnp.ndarray],
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise: jnp.ndarray,
+    detach_interp: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact O(m^2 q) conditioning of the grid-space predictive caches.
+
+    The caches (mean_cache, cov_cache) from :func:`wiski_prediction_caches`
+    parameterize the grid-space posterior N(mu, s2*C); conditioning on q
+    new SKI observations y = W_x^T u + eps, eps ~ N(0, s2*noise), is plain
+    Gaussian conditioning in that m-dimensional space (the learnable
+    second noise s2 cancels):
+
+        beta = diag(noise) + W^T C W            (q, q)
+        mu'  = mu + C W beta^{-1} (y - W^T mu)
+        C'   = C  - C W beta^{-1} (C W)^T
+
+    This gives interleaved evaluate-then-update streaming an O(m^2) step:
+    the reference (and :func:`wiski_prediction_caches`) rebuilds the
+    caches from a fresh m x m Cholesky after every conditioning
+    (``batched_fixed_noise_online_gp.py:369-404`` memo-dumps on update).
+    Sequential conditioning equals joint conditioning, so interleaving
+    predictions costs nothing extra. The caches are valid only while the
+    hyperparameters are fixed — after a hyper/stem step, rebuild via
+    :func:`wiski_prediction_caches` (cheap amortized over a refit cycle).
+    Condition the :class:`WiskiState` alongside (``wiski_condition``) so
+    MLL/refits stay consistent; periodic rebuilds also bound f32 drift.
+
+    Args:
+      caches: (mean_cache (B, m, 1), cov_cache (B, m, m)).
+      x: (q, D) new inputs (stem features); y, noise: (q, B).
+
+    Returns the conditioned (mean_cache, cov_cache).
+    """
+    mean_cache, cov_cache = caches
+    if cov_cache is None:
+        raise ValueError(
+            "pred-cache conditioning needs cov_cache (built without "
+            "skip_posterior_variances)"
+        )
+    B = model.num_outputs
+    m = model.grid.num_points
+    y, noise = _reshape_obs(y, noise, B)
+    noise = jnp.maximum(noise, 1e-7)  # reference noise clamp (line 163)
+    idx, w = interp_coeffs(model.grid, x, detach=detach_interp)
+    w_cols = dense_w(idx, w, m)  # (m, q)
+
+    with jax.default_matmul_precision("float32"):
+        cw = jnp.einsum("bmk,kq->bmq", cov_cache, w_cols)  # C @ W: (B, m, q)
+        beta = jnp.einsum("mq,bmr->bqr", w_cols, cw)  # (B, q, q)
+        beta = beta + jax.vmap(jnp.diag, in_axes=1)(noise)  # + diag(noise_b)
+        Lb = psd_safe_cholesky(beta, jitter=1e-8)
+        resid = y.T[:, :, None] - jnp.einsum(
+            "mq,bmk->bqk", w_cols, mean_cache
+        )  # (B, q, 1)
+        new_mean = mean_cache + cw @ cho_solve(Lb, resid)
+        new_cov = cov_cache - cw @ cho_solve(Lb, cw.swapaxes(-1, -2))
+        new_cov = 0.5 * (new_cov + new_cov.swapaxes(-1, -2))
+    return new_mean, new_cov
+
+
 # ---------------------------------------------------------------------------
 # fantasy batching (q-acquisition support)
 # ---------------------------------------------------------------------------
