@@ -101,23 +101,48 @@ def interp_matvec(idx: jnp.ndarray, w: jnp.ndarray, cache: jnp.ndarray) -> jnp.n
     return jnp.einsum("np,...npk->...nk", w, gathered)
 
 
+def _densify_rows(idx: jnp.ndarray, w: jnp.ndarray, num_grid: int) -> jnp.ndarray:
+    """(n, P) stencil -> dense (n, m) rows via compare-reduce (sums
+    duplicate indices, like scatter-add)."""
+    return jnp.sum(
+        (idx[:, :, None] == jnp.arange(num_grid)[None, None, :]).astype(w.dtype)
+        * w[:, :, None],
+        axis=1,
+    )
+
+
 def dense_w(idx: jnp.ndarray, w: jnp.ndarray, num_grid: int) -> jnp.ndarray:
     """Densify W^T for a batch of points: returns (m, n) columns.
 
     This is the transposed-W orientation the reference's caches use
     (``_get_wmat_from_kernel`` returns the (m, n) sparse-transpose,
-    ``batched_fixed_noise_online_gp.py:22-28``). Scatter-add keeps duplicate
-    stencil indices (possible after edge clamping) correct.
+    ``batched_fixed_noise_online_gp.py:22-28``). Duplicate stencil indices
+    (possible after edge clamping) are summed, like scatter-add. On TPU
+    the densification is a vectorized compare-reduce — XLA lowers
+    scatter-add to a serialized loop there.
     """
     n, P = idx.shape
+    if jax.default_backend() == "tpu":
+        return _densify_rows(idx, w, num_grid).T
     cols = jnp.zeros((num_grid, n), dtype=w.dtype)
     point_ids = jnp.broadcast_to(jnp.arange(n)[:, None], (n, P))
     return cols.at[idx.reshape(-1), point_ids.reshape(-1)].add(w.reshape(-1))
 
 
 def wt_matvec(idx: jnp.ndarray, w: jnp.ndarray, v: jnp.ndarray, num_grid: int) -> jnp.ndarray:
-    """W^T applied to point-space vectors: (n, k) -> (m, k) scatter-add."""
+    """W^T applied to point-space vectors: (n, k) -> (m, k).
+
+    Scatter-add off-TPU; on TPU, chunked dense-row matmuls (compare-reduce
+    + MXU) — XLA scatter serializes per element there."""
     n, P = idx.shape
+    if jax.default_backend() == "tpu":
+        out = jnp.zeros((num_grid, v.shape[-1]), dtype=v.dtype)
+        chunk = 2048
+        with jax.default_matmul_precision("float32"):
+            for s in range(0, n, chunk):
+                rows = _densify_rows(idx[s : s + chunk], w[s : s + chunk], num_grid)
+                out = out + rows.T @ v[s : s + chunk]
+        return out
     contrib = w[:, :, None] * v[:, None, :]  # (n, P, k)
     out = jnp.zeros((num_grid, v.shape[-1]), dtype=v.dtype)
     return out.at[idx.reshape(-1)].add(contrib.reshape(n * P, v.shape[-1]))

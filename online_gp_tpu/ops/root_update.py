@@ -173,11 +173,9 @@ def stencil_rows(idx: jnp.ndarray, wv: jnp.ndarray, m: int) -> jnp.ndarray:
     """Densify sparse stencil rows: (k, P) indices/weights -> (k, m) with
     row t = sum_p wv[t,p] e_{idx[t,p]}. Implemented as a compare-reduce
     (XLA scatter on TPU serializes; this is 3 vectorized VPU passes)."""
-    return jnp.sum(
-        (idx[:, :, None] == jnp.arange(m)[None, None, :]).astype(wv.dtype)
-        * wv[:, :, None],
-        axis=1,
-    )
+    from online_gp_tpu.ops.interp import _densify_rows
+
+    return _densify_rows(idx, wv, m)
 
 
 def blocked_factors_xla(p0: jnp.ndarray):
