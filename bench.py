@@ -48,7 +48,7 @@ def main():
     # long enough to amortize the fixed per-call dispatch/transfer cost of
     # this environment's tunneled chip (~25 ms) against the ~1 us/update
     # steady state; still one strict sequential rank-1 update per point
-    n_stream = 65536
+    n_stream = 131072
     xs = jax.random.uniform(ky, (n_stream, 1, d), minval=-1, maxval=1)
     ys = jnp.sin(3 * xs[..., :1])[..., 0, :]
     ys = ys[:, None, :]
