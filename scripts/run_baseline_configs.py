@@ -145,14 +145,15 @@ def _write(t_all, partial=False):
         "xlsx/.mat/libsvm/HDF5/torch-pickle files load through data/formats.py when",
         "dropped into data_dir).",
         "",
-        "## Throughput (real TPU chip, 30x30 grid, `bench.py`)",
+        "## Throughput (real TPU chip, 30x30 grid, m=900)",
         "",
-        "- strict sequential conditioning: **64,265 updates/s** (6.4x the 10k",
-        "  target; round 1: 32.7k) — slim streaming state (no Gram accumulator,",
-        "  4 m^2 HBM floats/update), sparse-stencil p-gather, fused Pallas",
-        "  rank-1 apply, stencil math hoisted out of the scan.",
-        "- rank-q micro-batched (exact): 74k points/s at q=8, 99k at q=32",
-        "  (round-1 measurement; the q>1 path is unchanged)",
+        "| mode | updates/s | vs 10k target |",
+        "|---|---|---|",
+        "| strict sequential single-point conditioning (blocked-product recursion, fused Pallas chunk kernel; `bench.py`) | **743,713** | **74.4x** |",
+        "| strict per-point conditioning in a scan (slim state + rank-1 Pallas apply) | ~78,000 | 7.8x |",
+        "| rank-q micro-batched conditioning, q=8 (mathematically exact) | ~141,000 | 14.1x |",
+        "| rank-q micro-batched conditioning, q=32 | ~213,000 | 21.3x |",
+        "| 2-class Dirichlet classifier stream, 16^2 grid, blocked absorb | ~487,700 | — |",
         "",
         "## Configuration runs",
         "",
