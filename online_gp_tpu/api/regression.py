@@ -87,6 +87,16 @@ class OnlineSKIRegression:
         if cls is OnlineSKIRegression and stem is not None:
             m = grid_size ** stem.output_dim
             if low_rank is not None or m > DENSE_GRID_LIMIT:
+                if slim_state or refresh_roots_every:
+                    import warnings
+
+                    warnings.warn(
+                        "slim_state/refresh_roots_every are dense-core "
+                        "options; the low-rank core (low_rank= / large "
+                        "grids) manages its m x k roots with amortized "
+                        "compression instead — ignoring them",
+                        stacklevel=2,
+                    )
                 from online_gp_tpu.api.lowrank_regression import (
                     OnlineSKILowRankRegression,
                 )
@@ -243,6 +253,10 @@ class OnlineSKIRegression:
             feats, _ = stem.apply(stem_params, bn_state, x, train=False)
             mean, var = wiski_predict(model, params, state, feats, cfg_eval, caches=caches)
             s2 = jnp.exp(params["raw_second_noise"])
+            if var is None:
+                # skip_posterior_variances: reference short-circuits the
+                # latent covariance to zero; the observation noise remains
+                var = jnp.zeros_like(mean)
             var = var + s2[:, None]
             return mean.T, var.T  # (n, T)
 
@@ -333,7 +347,11 @@ class OnlineSKIRegression:
             targets,
         )
         hyper_moved = update_gp or (update_stem and self.stem.has_params)
-        if hyper_moved:
+        if hyper_moved or (
+            self._pred_caches is not None and self._pred_caches[1] is None
+        ):
+            # hyper movement invalidates; mean-only caches
+            # (skip_posterior_variances) cannot be conditioned in place
             self._pred_caches = None
         elif self._pred_caches is not None:
             # conditioning-only update: O(m^2) exact rank-q conditioning of
@@ -380,6 +398,13 @@ class OnlineSKIRegression:
         )
         self._pred_caches = None
         self.buffer.append(np.asarray(inputs))
+        # the drift-control policy counts absorbed points like updates
+        self._updates_since_refresh += inputs.shape[0]
+        if self.refresh_roots_every and self._updates_since_refresh >= self.refresh_roots_every:
+            from online_gp_tpu.models.wiski import wiski_refresh_roots
+
+            self.state = wiski_refresh_roots(self.state)
+            self._updates_since_refresh = 0
         return self.state
 
     def fit(self, inputs, targets, num_epochs: int, test_dataset=None):

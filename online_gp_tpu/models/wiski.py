@@ -50,6 +50,7 @@ from online_gp_tpu.ops.interp import interp_coeffs, dense_w, gather_predict, int
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
 from online_gp_tpu.ops.root_update import (
     RootCache,
+    root_cache_expand,
     root_cache_init,
     root_cache_rebuild_mat,
     root_cache_slim,
@@ -274,7 +275,8 @@ def wiski_stream(
       only sequential work is an O(k m)-per-step factor recursion.
 
     Args:
-      xs: (n, D); ys, noises: (n, B) (or broadcastable to it).
+      xs: (n, D); ys, noises: (n, B) (n*B elements — reshaped, not
+        broadcast, like every other entry point's ``_reshape_obs``).
       block_size: deferred-update chunk rank; ``<= 1`` falls back to the
         per-step scan over the fused rank-1 kernel.
 
@@ -747,6 +749,11 @@ def wiski_predict_root(
     if caches is None:
         caches = wiski_prediction_caches(model, params, state, cfg)
     mean_cache, cov_cache = caches
+    if cov_cache is None:
+        raise ValueError(
+            "wiski_predict_root needs the covariance cache — unset "
+            "skip_posterior_variances (mean-only configs have no root)"
+        )
     idx, w = interp_coeffs(model.grid, x, detach=cfg.detach_interp_coeff)
     mean = interp_matvec(idx, w, mean_cache)[..., 0]
     m = cov_cache.shape[-1]
@@ -842,14 +849,12 @@ def wiski_expand(state: WiskiState, num_fantasies: int) -> WiskiState:
     ``get_fantasy_model`` cache expansion, lines 287-316)."""
 
     def tile(a):
-        if a is None:
-            return None
         return jnp.broadcast_to(a[None], (num_fantasies,) + a.shape)
 
     return WiskiState(
         wty=tile(state.wty),
         ydy=tile(state.ydy),
-        roots=RootCache(*(tile(a) for a in state.roots)),
+        roots=root_cache_expand(state.roots, (num_fantasies,)),
         d_logdet=tile(state.d_logdet),
         num_data=tile(state.num_data),
     )
@@ -869,7 +874,15 @@ def wiski_fantasize(
 
     Returns a state whose arrays carry a leading F dim (num_data bumps by q,
     shared across fantasies, like the reference's expanded model).
+
+    Fantasies feed differentiable acquisitions, so the interpolation
+    weights stay attached (``detach_interp=False``) — which also keeps
+    this vmapped conditioning off the non-vmappable Pallas rank-1 path.
     """
     expanded = wiski_expand(state, x.shape[0])
-    cond = jax.vmap(lambda s, xi, yi, ni: wiski_condition(model, s, xi, yi, ni))
+    cond = jax.vmap(
+        lambda s, xi, yi, ni: wiski_condition(
+            model, s, xi, yi, ni, detach_interp=False
+        )
+    )
     return cond(expanded, x, y, noise)

@@ -170,20 +170,11 @@ def gather_predict(
     mean = interp_matvec(idx, w, mean_cache)[..., 0]  # (..., n)
     if cov_cache is None:
         return mean, None
-    rows = jnp.take(cov_cache, idx, axis=-2)  # (..., n, P, m)
-    sub = _gather_cols(rows, idx)  # (..., n, P, P)
+    # one combined gather produces the (n, P, P) submatrices directly —
+    # never materializing the (n, P, m) row block
+    sub = cov_cache[..., idx[:, :, None], idx[:, None, :]]  # (..., n, P, P)
     var = jnp.einsum("np,...npq,nq->...n", w, sub, w)
     return mean, var
-
-
-def _gather_cols(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """rows: (..., n, P, m); idx: (n, P) -> (..., n, P, P) with
-    out[..., i, p, q] = rows[..., i, p, idx[i, q]]."""
-    n, P = idx.shape
-    idx_b = jnp.broadcast_to(idx[:, None, :], (n, P, P))  # (n, P, P)
-    shape = rows.shape[:-3] + (n, P, P)
-    idx_full = jnp.broadcast_to(idx_b, shape)
-    return jnp.take_along_axis(rows, idx_full, axis=-1)
 
 
 def interp_root_matvec(idx: jnp.ndarray, w: jnp.ndarray, root_cache: jnp.ndarray) -> jnp.ndarray:

@@ -103,3 +103,27 @@ def test_wrapper_incremental_caches_match_rebuild():
     assert w._pred_caches is None
     m1, v1 = w.predict(xt)
     assert np.isfinite(np.asarray(m1)).all() and float(np.asarray(v1).min()) > 0
+
+
+def test_wrapper_skip_posterior_variances_path():
+    """Mean-only configs (skip_posterior_variances) must predict (variance
+    = observation noise only, like the reference's ZeroLazyTensor branch)
+    and survive conditioning-only updates by invalidating instead of
+    conditioning the absent covariance cache."""
+    from online_gp_tpu.api.regression import OnlineSKIRegression
+    from online_gp_tpu.api.stems import IdentityStem
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (40, 1)).astype(np.float32)
+    y = np.sin(3 * x).astype(np.float32)
+    cfg = SolverConfig(skip_posterior_variances=True)
+
+    w = OnlineSKIRegression(IdentityStem(1), x[:24], y[:24], grid_size=10, cfg=cfg)
+    mean, var = w.predict(x[24:32])
+    assert np.isfinite(np.asarray(mean)).all()
+    s2 = float(np.exp(np.asarray(w.params["raw_second_noise"])[0]))
+    np.testing.assert_allclose(np.asarray(var), s2, rtol=1e-6)
+
+    w.update(x[32:33], y[32:33], update_stem=False, update_gp=False)
+    mean2, _ = w.predict(x[24:32])
+    assert np.isfinite(np.asarray(mean2)).all()
