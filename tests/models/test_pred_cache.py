@@ -127,3 +127,14 @@ def test_wrapper_skip_posterior_variances_path():
     w.update(x[32:33], y[32:33], update_stem=False, update_gp=False)
     mean2, _ = w.predict(x[24:32])
     assert np.isfinite(np.asarray(mean2)).all()
+
+
+def test_predict_root_rejects_mean_only_caches():
+    import pytest
+    from online_gp_tpu.models.wiski import wiski_predict_root
+
+    model, params, state = _setup(1)
+    cfg = SolverConfig(skip_posterior_variances=True)
+    xt = jnp.linspace(-0.5, 0.5, 4, dtype=DT)[:, None]
+    with pytest.raises(ValueError, match="covariance cache"):
+        wiski_predict_root(model, params, state, xt, cfg)

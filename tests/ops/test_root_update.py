@@ -177,3 +177,42 @@ def test_blocked_stream_pallas_chunk_interpret():
         )
         np.testing.assert_allclose(np.asarray(Lp), np.asarray(Ls), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(Bp), np.asarray(Bs), rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_stream_pallas_multitile_ragged_m():
+    """Interpret-mode parity at m=130: exercises the chunk kernel's
+    multi-tile apply stage with a ragged final row tile (tile=128), which
+    the tiny single-tile case cannot reach."""
+    from online_gp_tpu.ops.root_update import roots_apply_rank1_p, roots_stream_blocked
+
+    rng = np.random.RandomState(3)
+    m, P, n = 130, 4, 10
+    A = jnp.asarray((lambda a: a @ a.T / m)(rng.randn(m, 2 * m)).astype(np.float32))
+    cache = root_cache_init(A, jitter=1e-6)
+    L0, B0 = cache.root, cache.inv_root
+    idx = jnp.asarray(rng.randint(0, m, (n, P)), jnp.int32)
+    wv = jnp.asarray(rng.randn(n, P).astype(np.float32))
+
+    Ls, Bs = L0, B0
+    for t in range(n):
+        v = jnp.zeros((m,), jnp.float32).at[idx[t]].add(wv[t])
+        Ls, Bs = roots_apply_rank1_p(Ls, Bs, Bs.T @ v)
+
+    Lp, Bp = roots_stream_blocked(
+        L0, B0, idx, wv, block=5, use_pallas=True, pallas_interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(Lp), np.asarray(Ls), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Bp), np.asarray(Bs), rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_stream_f64_pallas_rejected():
+    """Forcing the f32-only fused kernel with f64 inputs must fail loudly."""
+    import pytest
+    from online_gp_tpu.ops.root_update import roots_stream_blocked
+
+    m = 8
+    L = jnp.eye(m, dtype=jnp.float64)
+    idx = jnp.zeros((4, 2), jnp.int32)
+    wv = jnp.ones((4, 2), jnp.float64)
+    with pytest.raises(TypeError, match="float32-only"):
+        roots_stream_blocked(L, L, idx, wv, use_pallas=True, pallas_interpret=True)
