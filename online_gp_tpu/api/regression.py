@@ -220,9 +220,16 @@ class OnlineSKIRegression:
             else:
                 s_loss = jnp.asarray(0.0)
 
-            # 2) GP hyper step on the Woodbury MLL (skip_logdet_forward)
+            # 2) GP hyper step on the Woodbury MLL (skip_logdet_forward).
+            # In the iterative (m > max_cholesky_size) regime the SLQ/
+            # Hutchinson probes are re-drawn per update (keyed on the
+            # stream position) so the logdet gradient averages over probe
+            # realizations instead of chasing one fixed draw.
             def gp_loss_fn(p):
-                return -jnp.sum(wiski_mll(model, p, state, cfg_skip))
+                slq_key = jax.random.fold_in(
+                    jax.random.PRNGKey(7), state.num_data.astype(jnp.uint32)
+                )
+                return -jnp.sum(wiski_mll(model, p, state, cfg_skip, slq_key=slq_key))
 
             if update_gp:
                 g_loss, g_grads = jax.value_and_grad(gp_loss_fn)(params)
@@ -421,11 +428,11 @@ class OnlineSKIRegression:
         stem_os = stem_opt.init(self.stem_params)
 
         @jax.jit
-        def epoch_step(params, stem_params, bn_state, gp_os, stem_os):
+        def epoch_step(params, stem_params, bn_state, gp_os, stem_os, slq_key):
             def loss_fn(p, sp):
                 feats, new_bn = stem.apply(sp, bn_state, inputs, train=True)
                 st = wiski_init(model, feats, targets, noise)
-                return -jnp.sum(wiski_mll(model, p, st, cfg)), new_bn
+                return -jnp.sum(wiski_mll(model, p, st, cfg, slq_key=slq_key)), new_bn
 
             (loss, new_bn), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, stem_params
@@ -446,7 +453,14 @@ class OnlineSKIRegression:
                 gp_os,
                 stem_os,
                 loss,
-            ) = epoch_step(self.params, self.stem_params, self.stem_state, gp_os, stem_os)
+            ) = epoch_step(
+                self.params,
+                self.stem_params,
+                self.stem_state,
+                gp_os,
+                stem_os,
+                jax.random.fold_in(jax.random.PRNGKey(11), epoch),
+            )
             rmse = nll = float("nan")
             if test_dataset is not None:
                 # refresh caches at current hypers/features before eval

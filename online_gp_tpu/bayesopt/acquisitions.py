@@ -67,7 +67,12 @@ def q_upper_confidence_bound(
         mean, var = wiski_predict(model, params, state, x, cfg)
         return jnp.max(mean[0] + jnp.sqrt(beta * jnp.maximum(var[0], 1e-12)))
     if key is None:
-        key = jax.random.PRNGKey(0)
+        # a silent fixed-seed default would correlate the acquisition noise
+        # across every BO step that omits the key
+        raise ValueError(
+            "q_upper_confidence_bound with q > 1 is a MC estimator and "
+            "requires an explicit PRNG key"
+        )
     mean, root = wiski_predict_root(model, params, state, x, cfg)  # (B,q),(B,q,k)
     eps = jax.random.normal(key, (num_samples, root.shape[-1]), mean.dtype)
     dev = eps @ root[0].T  # (S, q) zero-mean joint deviations

@@ -120,6 +120,12 @@ def mesh_regression_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
     if cfg.get("max_stream"):
         n_stream = min(n_stream, int(cfg["max_stream"]))
     num_chunks = n_stream // batch_size
+    if num_chunks == 0:
+        raise ValueError(
+            f"stream of {n_stream} points is shorter than batch_size="
+            f"{batch_size} (after init split / max_stream cap): nothing to "
+            "sweep — lower batch_size or raise max_stream"
+        )
     num_epochs = cfg["num_batch_epochs"] if cfg["pretrain"] else 0
     update_stem = bool(cfg["update_stem"]) and stem.has_params
 

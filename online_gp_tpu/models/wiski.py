@@ -208,18 +208,21 @@ def wiski_condition_coeffs(
                 jnp.einsum("p,bpm->bm", w0, state.roots.inv_root[:, idx0, :])
                 / rn0[:, None]
             )  # (B, m)
-        if detach_interp and B <= 8 and jax.default_backend() == "tpu":
-            # fused Pallas kernel on the point-streaming hot path (small
-            # class batches unroll); the differentiable path (fantasy
-            # acquisitions, detach_interp=False) stays on XLA.
-            from online_gp_tpu.ops.pallas_root_update import pallas_rank1_apply
+        if (
+            detach_interp
+            and jax.default_backend() == "tpu"
+            and state.roots.root.dtype == jnp.float32
+        ):
+            # fused Pallas kernel on the point-streaming hot path, batched
+            # over outputs in one pallas_call (compile count independent of
+            # the class batch); the differentiable path (fantasy
+            # acquisitions, detach_interp=False) and non-f32 roots (jax
+            # x64 parity oracles) stay on XLA.
+            from online_gp_tpu.ops.pallas_root_update import pallas_rank1_apply_batched
 
-            outs = [
-                pallas_rank1_apply(state.roots.root[b], state.roots.inv_root[b], p[b])
-                for b in range(B)
-            ]
-            new_root = jnp.stack([o[0] for o in outs])
-            new_inv = jnp.stack([o[1] for o in outs])
+            new_root, new_inv = pallas_rank1_apply_batched(
+                state.roots.root, state.roots.inv_root, p
+            )
         else:
             from online_gp_tpu.ops.root_update import roots_apply_rank1_p
 
@@ -301,41 +304,56 @@ def wiski_stream(
         if state.roots.mat is None:
             new_mat = None
         else:
-            wt = dense_w(idx, w, m)  # (m, n)
-            new_mat = state.roots.mat + jnp.einsum(
-                "mc,cb,kc->bmk", wt, 1.0 / jnp.maximum(noise, 1e-7), wt
-            )
+            # Gram accumulator A += W D^{-1} W^T, densified in bounded
+            # 2048-point segments (the same chunking as ``wt_matvec``) so
+            # bulk absorb is O(m^2 + chunk*m) memory regardless of stream
+            # length — a 131k-point absorb at m=900 would otherwise
+            # materialize a ~470 MB dense W.
+            seg = 2048
+            ninv = 1.0 / jnp.maximum(noise, 1e-7)  # (n, B)
+            if n <= seg:
+                wt = dense_w(idx, w, m)  # (m, n)
+                new_mat = state.roots.mat + jnp.einsum("mc,cb,kc->bmk", wt, ninv, wt)
+            else:
+                pad = (-n) % seg
+                P = idx.shape[1]
+                idx_p = jnp.concatenate([idx, jnp.zeros((pad, P), idx.dtype)])
+                w_p = jnp.concatenate([w, jnp.zeros((pad, P), w.dtype)])
+                ninv_p = jnp.concatenate([ninv, jnp.zeros((pad, B), ninv.dtype)])
+                nc = (n + pad) // seg
+
+                def gram_chunk(acc, inp):
+                    idx_s, w_s, ninv_s = inp
+                    wt_s = dense_w(idx_s, w_s, m)  # (m, seg)
+                    return acc + jnp.einsum("mc,cb,kc->bmk", wt_s, ninv_s, wt_s), 0.0
+
+                new_mat, _ = jax.lax.scan(
+                    gram_chunk,
+                    state.roots.mat,
+                    (
+                        idx_p.reshape(nc, seg, P),
+                        w_p.reshape(nc, seg, P),
+                        ninv_p.reshape(nc, seg, B),
+                    ),
+                )
 
         # ---- sequential roots recursion (the only order-dependent part) ----
         rn = jnp.sqrt(jnp.maximum(noise, 1e-7))  # (n, B)
         if block_size > 1:
-            from online_gp_tpu.ops.root_update import roots_stream_blocked
+            from online_gp_tpu.ops.root_update import roots_stream_blocked_batched
 
             wv = w[None, :, :] / rn.T[:, :, None]  # (B, n, P)
-            if B <= 8:
-                # unrolled per-output calls keep the fused Pallas chunk
-                # kernel usable (it does not vmap-batch). The kernel has
-                # no autodiff rules, so the differentiable-interp path
-                # (fantasy acquisitions) must stay on XLA.
-                outs = [
-                    roots_stream_blocked(
-                        state.roots.root[b],
-                        state.roots.inv_root[b],
-                        idx,
-                        wv[b],
-                        block=block_size,
-                        use_pallas=None if detach_interp else False,
-                    )
-                    for b in range(B)
-                ]
-                root = jnp.stack([o[0] for o in outs])
-                inv_root = jnp.stack([o[1] for o in outs])
-            else:
-                root, inv_root = jax.vmap(
-                    lambda Lb, Bb, wvb: roots_stream_blocked(
-                        Lb, Bb, idx, wvb, block=block_size, use_pallas=False
-                    )
-                )(state.roots.root, state.roots.inv_root, wv)
+            # one batched-over-outputs fused chunk kernel (grid over B);
+            # the kernel has no autodiff rules, so the differentiable-
+            # interp path (fantasy acquisitions) stays on XLA.
+            root, inv_root = roots_stream_blocked_batched(
+                state.roots.root,
+                state.roots.inv_root,
+                idx,
+                wv,
+                block=block_size,
+                use_pallas=None if detach_interp else False,
+            )
             return WiskiState(
                 wty=wty,
                 ydy=ydy,
@@ -344,7 +362,9 @@ def wiski_stream(
                 num_data=state.num_data + n,
             )
         use_pallas = (
-            detach_interp and B <= 8 and jax.default_backend() == "tpu"
+            detach_interp
+            and jax.default_backend() == "tpu"
+            and state.roots.root.dtype == jnp.float32
         )
 
         def step(carry, inp):
@@ -352,11 +372,11 @@ def wiski_stream(
             ii, wi, rni = inp  # (P,), (P,), (B,)
             p = jnp.einsum("p,bpm->bm", wi, Binv[:, ii, :]) / rni[:, None]
             if use_pallas:
-                from online_gp_tpu.ops.pallas_root_update import pallas_rank1_apply
+                from online_gp_tpu.ops.pallas_root_update import (
+                    pallas_rank1_apply_batched,
+                )
 
-                outs = [pallas_rank1_apply(L[b], Binv[b], p[b]) for b in range(B)]
-                L = jnp.stack([o[0] for o in outs])
-                Binv = jnp.stack([o[1] for o in outs])
+                L, Binv = pallas_rank1_apply_batched(L, Binv, p)
             else:
                 from online_gp_tpu.ops.root_update import roots_apply_rank1_p
 
@@ -414,8 +434,9 @@ def wiski_check_decomposition(state: WiskiState) -> Dict[str, jnp.ndarray]:
     per output batch (diagnostic for the check_decomposition flag).
 
     On slim states (no Gram accumulator) the reconstruction check has no
-    independent anchor, so only the root/inverse-root consistency
-    ``inverse_root_err`` is reported (recon err is 0 by construction)."""
+    independent anchor (recon err is 0 by construction), so
+    ``root_recon_rel_err`` is reported as NaN — the result schema is
+    mode-independent, so monitors indexing either key never KeyError."""
     L, B, A = state.roots.root, state.roots.inv_root, state.roots.mat
     with jax.default_matmul_precision("float32"):
         ident = jnp.einsum("bij,bkj->bik", L, B)
@@ -423,7 +444,10 @@ def wiski_check_decomposition(state: WiskiState) -> Dict[str, jnp.ndarray]:
     eye = jnp.eye(m, dtype=L.dtype)
     inv_err = jnp.max(jnp.abs(ident - eye), axis=(-2, -1))
     if A is None:
-        return {"inverse_root_err": inv_err}
+        return {
+            "root_recon_rel_err": jnp.full_like(inv_err, jnp.nan),
+            "inverse_root_err": inv_err,
+        }
     with jax.default_matmul_precision("float32"):
         recon = jnp.einsum("bij,bkj->bik", L, L)
     recon_err = jnp.max(jnp.abs(recon - A), axis=(-2, -1)) / jnp.maximum(
@@ -516,7 +540,8 @@ def _q_mvm_b(model: WiskiModel, params: Dict, state: WiskiState, b: int, cfg: So
 
 
 def _mll_inner_iterative(
-    model: WiskiModel, params: Dict, state: WiskiState, cfg: SolverConfig
+    model: WiskiModel, params: Dict, state: WiskiState, cfg: SolverConfig,
+    key: Optional[jnp.ndarray] = None,
 ):
     """CG/SLQ-backed inner MLL terms for m > max_cholesky_size.
 
@@ -532,55 +557,73 @@ def _mll_inner_iterative(
       Kuu_wty      = Kuu_eff (W D^{-1} y)         via the structured MVM
 
     Probe/iteration budgets come from cfg (max_cg_iterations, cg_tolerance,
-    max_root_decomposition_size). Probes are drawn from a fixed key, so the
-    estimate is deterministic per (shapes, cfg) — stochastic across nothing
-    the test suite can't control.
+    max_root_decomposition_size). The whole computation is vmapped over
+    the output batch — one compiled CG/SLQ regardless of B.
+
+    ``key`` seeds the SLQ/Hutchinson probes; ``None`` keeps the legacy
+    deterministic-per-shape behavior (PRNGKey(0)). Long hyper-fits should
+    fold the step counter in so the logdet estimate averages across probes
+    over the optimization instead of chasing one fixed realization.
     """
     B = model.num_outputs
     m = state.roots.root.shape[-1]
     cg_iters = min(cfg.max_cg_iterations, m)
     slq_iters = min(cfg.max_root_decomposition_size, m, 64)
-    num_probes = 16
+    num_probes = 32
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(jnp.arange(B))
 
-    qforms, logdets, kuu_wtys = [], [], []
+    s2 = _second_noise(model, params)
+    s2_arr = jnp.ones((B,), state.roots.root.dtype) if s2 is None else s2
+
+    def one_output(kp_b, s2_b, wty_b, L_b, key_b):
+        if cfg.use_toeplitz:
+            def kuu_mvm(x):
+                return (
+                    grid_kuu_mvm(model.kernel, kp_b, model.grid, x, use_toeplitz=True)
+                    / s2_b
+                )
+        else:
+            Kuu_b = grid_kuu_dense(model.kernel, kp_b, model.grid) / s2_b
+
+            def kuu_mvm(x):
+                return Kuu_b @ x
+
+        def q_mvm(v):
+            return v + L_b.T @ kuu_mvm(L_b @ v)
+
+        kuu_wty = kuu_mvm(wty_b)  # (m, 1)
+        proj = L_b.T @ kuu_wty  # (m, 1)
+        sol = batched_cg(q_mvm, proj, max_iters=cg_iters, tol=cfg.cg_tolerance)
+        qform = jnp.sum(proj * sol)
+
+        # log|Q|: SLQ for the forward value; gradient from the Hutchinson
+        # estimator E_z[ sg(Q^{-1} z)^T Q z ] whose derivative is
+        # tr(Q^{-1} dQ) in expectation.
+        slq_val = slq_logdet(
+            lambda v: q_mvm(v[:, None])[:, 0],
+            m,
+            key_b,
+            num_probes=num_probes,
+            num_iters=slq_iters,
+            dtype=L_b.dtype,
+        )
+        z = jax.random.rademacher(
+            jax.random.fold_in(key_b, 1), (m, num_probes), dtype=L_b.dtype
+        )
+        qinv_z = jax.lax.stop_gradient(
+            batched_cg(q_mvm, z, max_iters=cg_iters, tol=cfg.cg_tolerance)
+        )
+        surrogate = jnp.sum(qinv_z * q_mvm(z)) / num_probes
+        logdet = jax.lax.stop_gradient(slq_val - surrogate) + surrogate
+        return qform, logdet, kuu_wty
+
     with jax.default_matmul_precision("float32"):
-        for b in range(B):
-            kuu_mvm = _kuu_mvm_b(model, params, b, cfg)
-            q_mvm = _q_mvm_b(model, params, state, b, cfg)
-            L = state.roots.root[b]
-
-            kuu_wty = kuu_mvm(state.wty[b])  # (m, 1)
-            proj = L.T @ kuu_wty  # (m, 1)
-            sol = batched_cg(q_mvm, proj, max_iters=cg_iters, tol=cfg.cg_tolerance)
-            qforms.append(jnp.sum(proj * sol))
-            kuu_wtys.append(kuu_wty)
-
-            # log|Q|: SLQ for the forward value; gradient from the
-            # Hutchinson estimator E_z[ sg(Q^{-1} z)^T Q z ] whose
-            # derivative is tr(Q^{-1} dQ) in expectation.
-            key = jax.random.PRNGKey(b)
-            slq_val = slq_logdet(
-                lambda v: q_mvm(v[:, None])[:, 0],
-                m,
-                key,
-                num_probes=num_probes,
-                num_iters=slq_iters,
-                dtype=L.dtype,
-            )
-            z = jax.random.rademacher(
-                jax.random.fold_in(key, 1), (m, num_probes), dtype=L.dtype
-            )
-            qinv_z = jax.lax.stop_gradient(
-                batched_cg(q_mvm, z, max_iters=cg_iters, tol=cfg.cg_tolerance)
-            )
-            surrogate = jnp.sum(qinv_z * q_mvm(z)) / num_probes
-            logdets.append(jax.lax.stop_gradient(slq_val - surrogate) + surrogate)
-
-    return (
-        jnp.stack(qforms),
-        jnp.stack(logdets),
-        jnp.stack(kuu_wtys),
-    )
+        qforms, logdets, kuu_wtys = jax.vmap(one_output)(
+            params["kernel"], s2_arr, state.wty, state.roots.root, keys
+        )
+    return qforms, logdets, kuu_wtys
 
 
 def wiski_mll(
@@ -588,6 +631,8 @@ def wiski_mll(
     params: Dict,
     state: WiskiState,
     cfg: SolverConfig = DEFAULT_CONFIG,
+    *,
+    slq_key: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact GP marginal log-likelihood from the caches alone, per output.
 
@@ -608,7 +653,7 @@ def wiski_mll(
     m = state.roots.root.shape[-1]
     if m > cfg.max_cholesky_size:
         inner_qform, inner_logdet, Kuu_wty = _mll_inner_iterative(
-            model, params, state, cfg
+            model, params, state, cfg, key=slq_key
         )
     else:
         _, _, Lq, Kuu_wty, proj = _q_factor(model, params, state, cfg)

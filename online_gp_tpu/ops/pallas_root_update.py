@@ -208,6 +208,177 @@ def pallas_rank1_update_slim(L, B, v, tile: int = 128, interpret: bool = False):
     return outs
 
 
+def _update_kernel_slim_batched(p_ref, l_ref, b_ref, lo_ref, bo_ref):
+    """Roots-only rank-1 update, one output batch per grid row: blocks
+    carry a leading (1,) batch dim selected by program_id(0)."""
+    p = p_ref[0]  # (1, m)
+    s2 = jnp.sum(p * p)
+    s = jnp.sqrt(s2)
+    inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+    u = p * inv_s
+    c = jnp.sqrt(s2 + 1.0) - 1.0
+    d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+
+    lu = jnp.sum(l_ref[0] * u, axis=1, keepdims=True)  # (TI, 1)
+    bu = jnp.sum(b_ref[0] * u, axis=1, keepdims=True)
+    lo_ref[:] = (l_ref[0] + (c * lu) * u)[None]
+    bo_ref[:] = (b_ref[0] + (d * bu) * u)[None]
+
+
+def _update_kernel_batched(
+    p_ref, vfull_ref, l_ref, b_ref, a_ref, v_ref, lo_ref, bo_ref, ao_ref
+):
+    """Full (roots + Gram accumulator) rank-1 update with a leading output
+    batch grid dimension."""
+    p = p_ref[0]
+    s2 = jnp.sum(p * p)
+    s = jnp.sqrt(s2)
+    inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+    u = p * inv_s
+    c = jnp.sqrt(s2 + 1.0) - 1.0
+    d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+
+    lu = jnp.sum(l_ref[0] * u, axis=1, keepdims=True)
+    bu = jnp.sum(b_ref[0] * u, axis=1, keepdims=True)
+    lo_ref[:] = (l_ref[0] + (c * lu) * u)[None]
+    bo_ref[:] = (b_ref[0] + (d * bu) * u)[None]
+    ao_ref[:] = (a_ref[0] + v_ref[0] * vfull_ref[0])[None]
+
+
+def _p_kernel_batched(b_ref, v_ref, p_ref, *, m: int, tile: int):
+    """p[b] += v_tile[b]^T @ B_tile[b], accumulated over the (sequential)
+    row-tile grid dim; batch dim is grid dim 0 (batch-major iteration, so
+    the i==0 reset lands before each batch's accumulation)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    rid = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + i * tile
+    prod = jnp.where(rid < m, v_ref[0] * b_ref[0], 0.0)
+    p_ref[:] += jnp.sum(prod, axis=0, keepdims=True)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_rank1_apply_batched(L, B, p, tile: int = 128, interpret: bool = False):
+    """Batched-over-outputs :func:`pallas_rank1_apply`: one pallas_call with
+    grid (Bd, row-tiles) instead of a Python unroll per output — compile
+    count and kernel count are independent of the class/output batch.
+
+    Args:
+      L, B: (Bd, m, m) float32; p: (Bd, m) float32 with p[b] = B[b]^T v[b].
+
+    Returns (L', B') with leading Bd dim.
+    """
+    Bd, m = L.shape[0], L.shape[-1]
+    grid = (Bd, pl.cdiv(m, tile))
+    outs = pl.pallas_call(
+        _update_kernel_slim_batched,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+        ],
+    )(p.reshape(Bd, 1, m), L, B)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_rank1_update_batched(L, B, A, v, tile: int = 128, interpret: bool = False):
+    """Batched-over-outputs :func:`pallas_rank1_update` (roots + Gram):
+    L, B, A: (Bd, m, m); v: (Bd, m, 1). Returns (L', B', A')."""
+    Bd, m = L.shape[0], L.shape[-1]
+    grid = (Bd, pl.cdiv(m, tile))
+
+    p = pl.pallas_call(
+        functools.partial(_p_kernel_batched, m=m, tile=tile),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bd, 1, m), jnp.float32),
+    )(B, v)
+
+    outs = pl.pallas_call(
+        _update_kernel_batched,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+        ],
+    )(p, v.swapaxes(-1, -2), L, B, A, v)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_rank1_update_slim_batched(L, B, v, tile: int = 128, interpret: bool = False):
+    """Batched-over-outputs :func:`pallas_rank1_update_slim`:
+    L, B: (Bd, m, m); v: (Bd, m, 1). Returns (L', B')."""
+    Bd, m = L.shape[0], L.shape[-1]
+    grid = (Bd, pl.cdiv(m, tile))
+
+    p = pl.pallas_call(
+        functools.partial(_p_kernel_batched, m=m, tile=tile),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bd, 1, m), jnp.float32),
+    )(B, v)
+
+    outs = pl.pallas_call(
+        _update_kernel_slim_batched,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+        ],
+    )(p, L, B)
+    return outs
+
+
 def _fused_chunk_kernel(
     s_in, l_in, b_full, b_tile, l_out, b_out, p0_scr, u_scr, p_scr, r_scr,
     *, k: int,
@@ -318,40 +489,117 @@ def pallas_blocked_chunk(L, B, S, interpret: bool = False):
     return outs
 
 
+def _fused_chunk_kernel_batched(
+    s_in, l_in, b_full, b_tile, l_out, b_out, p0_scr, u_scr, p_scr, r_scr,
+    *, k: int,
+):
+    """Batched-over-outputs :func:`_fused_chunk_kernel`: grid dim 0 selects
+    the output batch, dim 1 the row tile. Blocks carry a leading (1,) batch
+    dim; the k-step factor recursion re-runs in scratch at each batch's
+    first tile (batch-major grid order guarantees tiles of batch b see
+    batch b's factors)."""
+    i = pl.program_id(1)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = jnp.zeros_like(u_scr)
+        p_scr[:] = jnp.zeros_like(p_scr)
+        r_scr[:] = jnp.zeros_like(r_scr)
+        p0_scr[:] = jnp.dot(s_in[0], b_full[0], precision=hi)
+
+        def body(t, _):
+            p0 = p0_scr[pl.ds(t, 1), :]
+            a = jnp.sum(p_scr[:] * p0, axis=1, keepdims=True)
+            p = p0 + jnp.sum(u_scr[:] * a, axis=0, keepdims=True)
+            s2 = jnp.sum(p * p)
+            s = jnp.sqrt(s2)
+            inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+            u = p * inv_s
+            c = jnp.sqrt(s2 + 1.0) - 1.0
+            d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+            g = jnp.sum(u_scr[:] * u, axis=1, keepdims=True)
+            p_col = d * (u + jnp.sum(p_scr[:] * g, axis=0, keepdims=True))
+            r_col = c * (u + jnp.sum(r_scr[:] * g, axis=0, keepdims=True))
+            u_scr[pl.ds(t, 1), :] = u
+            p_scr[pl.ds(t, 1), :] = p_col
+            r_scr[pl.ds(t, 1), :] = r_col
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
+
+    lt = l_in[0]
+    t1 = jax.lax.dot_general(lt, r_scr[:], (((1,), (1,)), ((), ())), precision=hi)
+    l_out[:] = (lt + jnp.dot(t1, u_scr[:], precision=hi))[None]
+    bt = b_tile[0]
+    t2 = jax.lax.dot_general(bt, p_scr[:], (((1,), (1,)), ((), ())), precision=hi)
+    b_out[:] = (bt + jnp.dot(t2, u_scr[:], precision=hi))[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_blocked_chunk_batched(L, B, S, interpret: bool = False):
+    """Batched-over-outputs :func:`pallas_blocked_chunk`: one pallas_call
+    covering all output batches (grid (Bd, row-tiles)) instead of a Python
+    unroll.
+
+    Args:
+      L, B: (Bd, m, m) float32; S: (Bd, k, m) float32 stencil rows.
+
+    Returns (L', B') with leading Bd dim.
+    """
+    Bd, m = L.shape[0], L.shape[-1]
+    k = S.shape[1]
+    tile = 128
+    grid = (Bd, pl.cdiv(m, tile))
+    kernel = functools.partial(_fused_chunk_kernel_batched, k=k)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, k, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, m), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
+        ],
+    )(S, L, B, B)
+    return outs
+
+
 def pallas_root_cache_update(
     cache: RootCache, v: jnp.ndarray, interpret: bool = False
 ) -> RootCache:
-    """Drop-in for :func:`root_cache_update` on the q=1 hot path (small
-    output batches unroll into per-output kernel calls); falls back to the
-    XLA path for other shapes or (unless ``interpret``) non-TPU backends.
-    Slim caches (``mat is None``) ride the roots-only kernel."""
+    """Drop-in for :func:`root_cache_update` on the q=1 hot path (one
+    batched kernel covering every output, any batch size); falls back to
+    the XLA path for other shapes/dtypes or (unless ``interpret``) non-TPU
+    backends. Slim caches (``mat is None``) ride the roots-only kernel."""
     if (
         (jax.default_backend() != "tpu" and not interpret)
         or v.ndim != 3
-        or v.shape[0] > 8
         or v.shape[-1] != 1
+        or cache.root.dtype != jnp.float32
     ):
         return root_cache_update(cache, v)
     if cache.mat is None:
-        outs = [
-            pallas_rank1_update_slim(
-                cache.root[b], cache.inv_root[b], v[b], interpret=interpret
-            )
-            for b in range(v.shape[0])
-        ]
-        return RootCache(
-            mat=None,
-            root=jnp.stack([o[0] for o in outs]),
-            inv_root=jnp.stack([o[1] for o in outs]),
+        root, inv_root = pallas_rank1_update_slim_batched(
+            cache.root, cache.inv_root, v, interpret=interpret
         )
-    outs = [
-        pallas_rank1_update(
-            cache.root[b], cache.inv_root[b], cache.mat[b], v[b], interpret=interpret
-        )
-        for b in range(v.shape[0])
-    ]
-    return RootCache(
-        mat=jnp.stack([o[2] for o in outs]),
-        root=jnp.stack([o[0] for o in outs]),
-        inv_root=jnp.stack([o[1] for o in outs]),
+        return RootCache(mat=None, root=root, inv_root=inv_root)
+    root, inv_root, mat = pallas_rank1_update_batched(
+        cache.root, cache.inv_root, cache.mat, v, interpret=interpret
     )
+    return RootCache(mat=mat, root=root, inv_root=inv_root)

@@ -338,6 +338,67 @@ def roots_stream_blocked(
     return L, B
 
 
+def roots_stream_blocked_batched(
+    L: jnp.ndarray,
+    B: jnp.ndarray,
+    idx: jnp.ndarray,
+    wv: jnp.ndarray,
+    block: int = 32,
+    use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
+):
+    """Batched-over-outputs :func:`roots_stream_blocked`: all output
+    batches ride ONE fused Pallas chunk kernel per chunk (grid over
+    outputs), so compile count and kernel count are independent of the
+    class/output batch size.
+
+    Args:
+      L, B: (Bd, m, m) roots; idx: (n, P) shared stencil indices;
+      wv: (Bd, n, P) per-output weights (already / sqrt(noise)).
+
+    Returns (L', B') with leading Bd dim.
+    """
+    Bd, m = L.shape[0], L.shape[-1]
+    dtype = L.dtype
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
+        )
+    if not use_pallas:
+        return jax.vmap(
+            lambda Lb, Bb, wvb: roots_stream_blocked(
+                Lb, Bb, idx, wvb, block=block, use_pallas=False
+            )
+        )(L, B, wv)
+
+    from online_gp_tpu.ops.pallas_root_update import pallas_blocked_chunk_batched
+
+    idx_c, _, k = pad_and_chunk_stream(idx, wv[0], block)
+    n, P = idx.shape
+    pad = (-n) % k
+    if pad:
+        wv = jnp.concatenate([wv, jnp.zeros((Bd, pad, P), wv.dtype)], axis=1)
+    nc = idx_c.shape[0]
+    wv_c = wv.reshape(Bd, nc, k, P).swapaxes(0, 1)  # (nc, Bd, k, P)
+
+    def chunk_step(carry, inp):
+        Lc, Bc = carry
+        S = inp  # (Bd, k, m)
+        Lc, Bc = pallas_blocked_chunk_batched(Lc, Bc, S, interpret=pallas_interpret)
+        return (Lc, Bc), 0.0
+
+    seg_chunks = max(1, (16384 + k - 1) // k)
+    for c0 in range(0, nc, seg_chunks):
+        idx_s = idx_c[c0 : c0 + seg_chunks]
+        wv_s = wv_c[c0 : c0 + seg_chunks]
+        s_seg = jax.lax.map(
+            lambda args: jax.vmap(lambda w1: stencil_rows(args[0], w1, m))(args[1]),
+            (idx_s, wv_s),
+        )  # (<=seg_chunks, Bd, k, m)
+        (L, B), _ = jax.lax.scan(chunk_step, (L, B), s_seg)
+    return L, B
+
+
 def root_cache_expand(cache: RootCache, batch_shape) -> RootCache:
     """Broadcast the cache along new leading batch dims (the reference's
     ``_expand_batch``, used for fantasy batching in q-acquisition;

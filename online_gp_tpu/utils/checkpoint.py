@@ -118,13 +118,28 @@ def save_pytree(path: str, tree: Any, backend: str = "npz") -> None:
             shutil.rmtree(target)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(target, arrays)
+        # drop a stale .npz payload from an earlier save at the same path,
+        # so the structure JSON's backend record never disagrees with the
+        # payload that would be found on disk
+        if os.path.exists(_npz_path(path)):
+            os.remove(_npz_path(path))
     elif backend == "npz":
         np.savez(_npz_path(path), **arrays)
+        if os.path.isdir(_orbax_dir(path)):
+            import shutil
+
+            shutil.rmtree(_orbax_dir(path))
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r} (npz/orbax)")
     with open(_structure_path(path), "w") as f:
         json.dump(
-            {"treedef": str(treedef), "num_leaves": len(leaves), "encoding": encoding}, f
+            {
+                "treedef": str(treedef),
+                "num_leaves": len(leaves),
+                "encoding": encoding,
+                "backend": backend,
+            },
+            f,
         )
 
 
@@ -138,7 +153,19 @@ def load_pytree(path: str, like: Optional[Any] = None) -> Any:
     """
     import jax.numpy as jnp
 
-    if os.path.isdir(_orbax_dir(path)):
+    structure = None
+    if os.path.exists(_structure_path(path)):
+        with open(_structure_path(path)) as f:
+            structure = json.load(f)
+
+    # dispatch on the backend RECORDED with the structure (older
+    # checkpoints without the record fall back to payload sniffing) so a
+    # stale payload from a different-backend save at the same path can
+    # never shadow the one this structure JSON describes
+    backend = (structure or {}).get("backend")
+    if backend is None:
+        backend = "orbax" if os.path.isdir(_orbax_dir(path)) else "npz"
+    if backend == "orbax":
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:
@@ -147,10 +174,6 @@ def load_pytree(path: str, like: Optional[Any] = None) -> Any:
     else:
         npz = np.load(_npz_path(path))
         leaves = [jnp.asarray(npz[f"leaf_{i}"]) for i in range(len(npz.files))]
-    structure = None
-    if os.path.exists(_structure_path(path)):
-        with open(_structure_path(path)) as f:
-            structure = json.load(f)
 
     if like is not None:
         like_leaves, treedef = jax.tree.flatten(like)
