@@ -383,6 +383,55 @@ class OnlineSKIRegression:
             )
         return float(s_loss), float(g_loss)
 
+    def prequential(self, inputs, targets):
+        """Interleaved evaluate-then-update over a stream (conditioning
+        only — no hyper/stem steps): for each point, predict from the
+        posterior conditioned on all previous points, then absorb it.
+
+        This is the reference's prequential hot loop
+        (``experiments/regression.py:49-54``) run through the blocked
+        recursions (:func:`wiski_prequential_stream`): per-point exactness
+        with O(m^2)/chunk instead of O(m^2)/point cost.
+
+        Returns (mean, var) of shape (n, T) — predictive y-moments with
+        the learnable second noise added, matching :meth:`predict`.
+        """
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        caches = self._ensure_pred_caches()
+        if caches[1] is None:
+            raise ValueError(
+                "prequential streaming needs posterior variances — unset "
+                "cfg.skip_posterior_variances"
+            )
+        key = ("prequential", inputs.shape[0])
+        if key not in self._jit_cache:
+            model, stem = self.model, self.stem
+            from online_gp_tpu.models.wiski import wiski_prequential_stream
+
+            def fn(params, stem_params, bn_state, state, caches, x, y):
+                feats, _ = stem.apply(stem_params, bn_state, x, train=False)
+                feats = jax.lax.stop_gradient(feats)
+                state, caches, pm, pv = wiski_prequential_stream(
+                    model, params, state, caches, feats, y, jnp.ones_like(y)
+                )
+                s2 = jnp.exp(params["raw_second_noise"])
+                return state, caches, pm.T, (pv + s2[:, None]).T  # (n, T)
+
+            self._jit_cache[key] = jax.jit(fn)
+        self.state, self._pred_caches, mean, var = self._jit_cache[key](
+            self.params, self.stem_params, self.stem_state, self.state,
+            caches, inputs, targets,
+        )
+        self.buffer.append(np.asarray(inputs))
+        self._updates_since_refresh += inputs.shape[0]
+        if self.refresh_roots_every and self._updates_since_refresh >= self.refresh_roots_every:
+            from online_gp_tpu.models.wiski import wiski_refresh_roots
+
+            self.state = wiski_refresh_roots(self.state)
+            self._updates_since_refresh = 0
+        return mean, var
+
     def absorb(self, inputs, targets):
         """Bulk-absorb a stream of observations (conditioning only — no
         hyper/stem steps): one exact rank-1 update per point through

@@ -12,6 +12,8 @@ from online_gp_tpu.models.wiski import (
     wiski_refresh_roots,
     wiski_check_decomposition,
     wiski_condition_coeffs,
+    wiski_pred_cache_condition,
+    wiski_prequential_stream,
     wiski_slim,
     wiski_stream,
     wiski_unslim,
@@ -42,6 +44,8 @@ __all__ = [
     "wiski_prediction_caches",
     "wiski_condition_coeffs",
     "wiski_slim",
+    "wiski_pred_cache_condition",
+    "wiski_prequential_stream",
     "wiski_stream",
     "wiski_unslim",
     "wiski_fantasize",

@@ -884,6 +884,98 @@ def wiski_pred_cache_condition(
     return new_mean, new_cov
 
 
+def wiski_prequential_stream(
+    model: WiskiModel,
+    params: Dict,
+    state: WiskiState,
+    caches: Tuple[jnp.ndarray, jnp.ndarray],
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    noises: jnp.ndarray,
+    detach_interp: bool = True,
+    block_size: int = 128,
+) -> Tuple[WiskiState, Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """Interleaved evaluate-then-condition over a stream of n single points.
+
+    Semantically the reference's prequential hot loop
+    (``/root/reference/experiments/regression.py:49-54``): for each point,
+    predict from the posterior conditioned on all PREVIOUS points, then
+    absorb it — but blocked so the O(m^2) work lands on the MXU once per
+    rank-``block_size`` chunk instead of per point (fused Pallas kernels
+    for both the predictive-cache recursion,
+    :mod:`online_gp_tpu.ops.pred_stream`, and the root recursion,
+    :func:`online_gp_tpu.ops.root_update.roots_stream_blocked`).
+
+    Valid only while the hyperparameters are fixed (conditioning-only
+    streaming, like :func:`wiski_pred_cache_condition`); interleave hyper
+    steps by breaking the stream at the hyper-step boundaries.
+
+    Args:
+      caches: (mean_cache (B, m, 1), cov_cache (B, m, m)) from
+        :func:`wiski_prediction_caches`.
+      xs: (n, D); ys, noises: (n, B).
+
+    Returns (new_state, new_caches, pred_mean (B, n), pred_var (B, n));
+    pred moments match :func:`wiski_predict` at the same prefix (latent f
+    variance, re-scaled by the learnable second noise; observation noise
+    NOT added).
+    """
+    mean_cache, cov_cache = caches
+    if cov_cache is None:
+        raise ValueError(
+            "prequential streaming needs cov_cache (built without "
+            "skip_posterior_variances)"
+        )
+    B = model.num_outputs
+    n = xs.shape[0]
+    y, noise = _reshape_obs(ys, noises, B)
+    nz = jnp.maximum(noise, 1e-7)  # reference noise clamp (line 163)
+    idx, w = interp_coeffs(model.grid, xs, detach=detach_interp)
+
+    from online_gp_tpu.ops.pred_stream import (
+        pred_stream_blocked,
+        pred_stream_blocked_batched,
+    )
+
+    use_pallas = None if detach_interp else False
+    if B == 1:
+        new_C, new_mu, pm, pv = pred_stream_blocked(
+            cov_cache[0],
+            mean_cache[0, :, 0],
+            idx,
+            w,
+            y[:, 0],
+            nz[:, 0],
+            block=block_size,
+            use_pallas=use_pallas,
+        )
+        new_caches = (new_mu[None, :, None], new_C[None])
+        pm, pv = pm[None], pv[None]
+    else:
+        new_C, new_mu, pm, pv = pred_stream_blocked_batched(
+            cov_cache,
+            mean_cache[..., 0],
+            idx,
+            w,
+            y.T,
+            nz.T,
+            block=block_size,
+            use_pallas=use_pallas,
+        )
+        new_caches = (new_mu[..., None], new_C)
+
+    s2 = _second_noise(model, params)
+    if s2 is not None:
+        pv = pv * s2[:, None]
+    pv = jnp.maximum(pv, 1e-12)
+
+    new_state = wiski_stream(
+        model, state, xs, ys, noises,
+        detach_interp=detach_interp, block_size=block_size,
+    )
+    return new_state, new_caches, pm, pv
+
+
 # ---------------------------------------------------------------------------
 # fantasy batching (q-acquisition support)
 # ---------------------------------------------------------------------------

@@ -44,3 +44,43 @@ def test_update_returns_losses(data):
     assert np.isfinite(g_loss)
     # identity stem has no parameters -> stem loss reported as 0
     assert s_loss == 0.0
+
+
+def test_prequential_matches_predict_then_absorb(data):
+    """wrapper.prequential(): per-point predictions equal predict() on the
+    prefix posterior, and the absorbed state matches absorb()."""
+    tr_x, tr_y, *_ = data
+    mk = lambda: OnlineSKIRegression(
+        IdentityStem(2), tr_x[:40], tr_y[:40], lr=0.05, grid_size=12, grid_bound=1.0
+    )
+    a, b = mk(), mk()
+
+    stream_x, stream_y = tr_x[40:61], tr_y[40:61]
+    mean_pq, var_pq = a.prequential(stream_x, stream_y)
+
+    means, vars_ = [], []
+    for i in range(stream_x.shape[0]):
+        m_i, v_i = b.predict(stream_x[i : i + 1])
+        means.append(np.asarray(m_i))
+        vars_.append(np.asarray(v_i))
+        b.absorb(stream_x[i : i + 1], stream_y[i : i + 1])
+    np.testing.assert_allclose(
+        np.asarray(mean_pq), np.concatenate(means), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_pq), np.concatenate(vars_), atol=1e-5, rtol=1e-5
+    )
+    # f32 state: blocked vs per-point recursion differ only by fp
+    # reassociation
+    np.testing.assert_allclose(
+        np.asarray(a.state.roots.root),
+        np.asarray(b.state.roots.root),
+        atol=1e-4,
+    )
+    assert int(a.state.num_data) == int(b.state.num_data) == 61
+
+    # follow-up predicts ride the conditioned caches and agree
+    m_a, v_a = a.predict(stream_x[:5])
+    m_b, v_b = b.predict(stream_x[:5])
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-5)
