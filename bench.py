@@ -6,7 +6,16 @@ per second at a 30x30 inducing grid (m=900). Measures the jitted
 ``condition_on_observations(inplace=True)`` hot loop,
 ``experiments/regression.py:53``), steady state, on the default backend.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus an
+"extra" dict with the two other hot-loop modes the reference runs
+(``/root/reference/experiments/regression.py:49-54``):
+  - prequential_eval_update_per_sec: interleaved per-point evaluate-then-
+    condition (predict from the posterior on all previous points, then
+    absorb) through the blocked pred-cache recursion.
+  - full_update_per_sec: the complete L5 ``update()`` per point — stem
+    gradient step on sm_partial_mll + hyper gradient step on the Woodbury
+    MLL + condition (``api/regression.py:201-243`` semantics).
+Each mode is correctness-gated before timing.
 """
 
 import json
@@ -102,6 +111,9 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, n_stream / dt)
 
+    preq = bench_prequential(model, state, xs, ys, ns)
+    full = bench_full_update(model, grid, d)
+
     print(
         json.dumps(
             {
@@ -109,9 +121,156 @@ def main():
                 "value": round(best, 1),
                 "unit": "updates/s",
                 "vs_baseline": round(best / TARGET, 3),
+                "extra": {
+                    "prequential_eval_update_per_sec": round(preq, 1),
+                    "full_update_per_sec": round(full, 1),
+                },
             }
         )
     )
+
+
+def bench_prequential(model, state, xs, ys, ns):
+    """Interleaved per-point evaluate-then-condition: the reference's
+    prequential loop (``experiments/regression.py:49-54`` without the
+    hyper/stem steps), via the blocked pred-cache recursion."""
+    from online_gp_tpu.config import SolverConfig
+    from online_gp_tpu.models.wiski import (
+        wiski_prediction_caches,
+        wiski_prequential_stream,
+    )
+
+    params = model.init_params(xs.shape[-1])
+    cfg = SolverConfig().replace(detach_interp_coeff=True)
+    caches = jax.jit(lambda p, s: wiski_prediction_caches(model, p, s, cfg))(
+        params, state
+    )
+    xs2, ys2, ns2 = xs[:, 0, :], ys[:, 0, :], ns[:, 0, :]
+
+    @jax.jit
+    def preq(state, caches, xs, ys, ns):
+        return wiski_prequential_stream(model, params, state, caches, xs, ys, ns)
+
+    # Correctness gate: Pallas in-block cascade vs the pure-XLA recursion
+    # on a prefix (identical semantics, different kernel).
+    n_check = 512
+
+    @jax.jit
+    def preq_xla(state, caches, xs, ys, ns):
+        from online_gp_tpu.ops.pred_stream import pred_stream_blocked
+        from online_gp_tpu.ops.interp import interp_coeffs
+
+        idx, w = interp_coeffs(model.grid, xs, detach=True)
+        return pred_stream_blocked(
+            caches[1][0], caches[0][0, :, 0], idx, w, ys[:, 0],
+            jnp.maximum(ns[:, 0], 1e-7), use_pallas=False,
+        )
+
+    _, _, pm_g, pv_g = preq(
+        state, caches, xs2[:n_check], ys2[:n_check], ns2[:n_check]
+    )
+    _, _, pm_o, pv_o = preq_xla(
+        state, caches, xs2[:n_check], ys2[:n_check], ns2[:n_check]
+    )
+    err = float(jnp.max(jnp.abs(pm_g[0] - pm_o)))
+    assert err <= 1e-3, (
+        f"Pallas/XLA prequential-mean drift {err:.3e} — refusing to bench"
+    )
+    assert bool(jnp.isfinite(pv_g).all() & (pv_g > 0).all())
+
+    out = preq(state, caches, xs2, ys2, ns2)
+    jax.block_until_ready(out[0].roots.root)
+    n_stream, best = xs2.shape[0], 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = preq(state, caches, xs2, ys2, ns2)
+        jax.block_until_ready(out[0].roots.root)
+        best = max(best, n_stream / (time.perf_counter() - t0))
+    return best
+
+
+def bench_full_update(model, grid, d):
+    """The complete L5 ``update()`` per point: stem gradient step
+    (sm_partial_mll) + GP hyper gradient step (Woodbury MLL,
+    skip_logdet_forward) + condition — ``api/regression.py`` semantics in
+    one scanned jit."""
+    import optax
+
+    from online_gp_tpu.api.stems import LinearStem
+    from online_gp_tpu.config import SolverConfig
+    from online_gp_tpu.models.partial_mll import sm_partial_mll
+    from online_gp_tpu.models.wiski import (
+        wiski_condition,
+        wiski_init,
+        wiski_mll,
+    )
+
+    params = model.init_params(d)
+    stem = LinearStem(d, d)
+    key = jax.random.PRNGKey(0)
+    stem_params, bn_state = stem.init(key)
+    cfg = SolverConfig()
+    cfg_skip = cfg.replace(skip_logdet_forward=True)
+
+    kx, ky = jax.random.split(key)
+    x0 = jax.random.uniform(kx, (256, d), minval=-1, maxval=1)
+    f0, _ = stem.apply(stem_params, bn_state, x0, train=False)
+    y0 = jnp.sin(3 * x0[:, :1])
+    state = wiski_init(model, jax.lax.stop_gradient(f0), y0, jnp.ones_like(y0))
+
+    gp_opt = optax.adam(1e-2)
+    stem_opt = optax.adam(1e-2)
+
+    def full_update(carry, inp):
+        params, sp, gp_os, st_os, state = carry
+        x, y = inp  # (1, d), (1, 1)
+
+        def stem_loss(sp_):
+            feats, _ = stem.apply(sp_, bn_state, x, train=False)
+            return -jnp.sum(sm_partial_mll(model, params, state, feats, y, cfg))
+
+        s_loss, s_grads = jax.value_and_grad(stem_loss)(sp)
+        s_up, st_os = stem_opt.update(s_grads, st_os, sp)
+        sp = optax.apply_updates(sp, s_up)
+
+        def gp_loss(p):
+            return -jnp.sum(wiski_mll(model, p, state, cfg_skip))
+
+        g_loss, g_grads = jax.value_and_grad(gp_loss)(params)
+        g_up, gp_os = gp_opt.update(g_grads, gp_os, params)
+        params = optax.apply_updates(params, g_up)
+
+        feats, _ = stem.apply(sp, bn_state, x, train=False)
+        feats = jax.lax.stop_gradient(feats)
+        state = wiski_condition(model, state, feats, y, jnp.ones_like(y))
+        return (params, sp, gp_os, st_os, state), (s_loss, g_loss)
+
+    @jax.jit
+    def run(params, sp, state, xs, ys):
+        gp_os = gp_opt.init(params)
+        st_os = stem_opt.init(sp)
+        carry, losses = jax.lax.scan(
+            full_update, (params, sp, gp_os, st_os, state), (xs, ys)
+        )
+        return carry, losses
+
+    n = 256
+    xs = jax.random.uniform(ky, (n, 1, d), minval=-1, maxval=1)
+    ys = jnp.sin(3 * xs[..., :1])[:, 0, :][:, None, :]
+
+    carry, losses = run(params, stem_params, state, xs, ys)
+    jax.block_until_ready(carry[0]["kernel"]["raw_lengthscale"])
+    # Correctness gate: every per-step loss finite, stream fully absorbed.
+    assert bool(jnp.isfinite(jnp.asarray(losses)).all()), "non-finite update losses"
+    assert int(carry[4].num_data) == 256 + n
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, losses = run(params, stem_params, state, xs, ys)
+        jax.block_until_ready(carry[0]["kernel"]["raw_lengthscale"])
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
 
 
 if __name__ == "__main__":
