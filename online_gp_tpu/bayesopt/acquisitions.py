@@ -99,6 +99,7 @@ def q_knowledge_gradient(
     x_discrete: jnp.ndarray, current_best: jnp.ndarray, key,
     num_fantasies: int = 16, cfg: SolverConfig = DEFAULT_CONFIG,
     lookahead_steps: int = 20, lookahead_lr: float = 0.05,
+    num_inner_restarts: int = 4,
 ) -> jnp.ndarray:
     """One-step lookahead KG: sample fantasy observations at X, condition
     the caches (O(m^2) per fantasy), and average the max posterior mean
@@ -111,7 +112,14 @@ def q_knowledge_gradient(
     Outer gradients (w.r.t. X) stay exact: by the envelope theorem the
     sensitivity of the inner max to its argmax location vanishes at the
     optimum, so the optimized location is wrapped in stop_gradient and the
-    X-gradient flows purely through the fantasy-conditioned caches."""
+    X-gradient flows purely through the fantasy-conditioned caches.
+
+    The inner maximization is MULTI-START: ascent runs from the
+    ``num_inner_restarts`` best discrete candidates in parallel (vmapped)
+    and the best endpoint wins — the single-start form can stall on a
+    local ridge of the fantasy mean and under-estimate KG (botorch's
+    ``qKnowledgeGradient`` likewise multi-starts its inner problem via
+    ``optimize_acqf``'s restart machinery)."""
     fant_y = _joint_samples(model, params, state, x, key, num_fantasies, cfg)  # (F, q)
     cfg_mean = cfg.replace(skip_posterior_variances=True)
     lo = jnp.min(x_discrete, axis=0)
@@ -126,9 +134,10 @@ def q_knowledge_gradient(
         # non-differentiable Pallas path.
         st = wiski_condition(model, state, x, yf[:, None], noise, detach_interp=False)
         m, _ = wiski_predict(model, params, st, x_discrete, cfg_mean)
-        x0 = x_discrete[jnp.argmax(m[0])]
 
         if lookahead_steps > 0:
+            k = min(num_inner_restarts, x_discrete.shape[0])
+            seeds = x_discrete[jax.lax.top_k(m[0], k)[1]]  # (k, d)
             # inner ascent on the fantasy mean; the fantasy state is
             # detached here (envelope theorem: only the *location* is
             # being optimized) and re-attached for the final value.
@@ -140,14 +149,17 @@ def q_knowledge_gradient(
                 mm, _ = wiski_predict(model, params, s, xx[None], cfg_mean)
                 return mm[0, 0]
 
-            def ascend(_, xx):
-                g = jax.grad(mean_at)(xx, st_sg)
-                return jnp.clip(xx + lookahead_lr * g, lo, hi)
+            def ascend_from(x0):
+                def ascend(_, xx):
+                    g = jax.grad(mean_at)(xx, st_sg)
+                    return jnp.clip(xx + lookahead_lr * g, lo, hi)
 
-            x_star = jax.lax.fori_loop(0, lookahead_steps, ascend, x0)
-            x_star = jax.lax.stop_gradient(x_star)
-            # never move below the discrete seed's value
-            return jnp.maximum(mean_at(x_star, st), jnp.max(m[0]))
+                return jax.lax.fori_loop(0, lookahead_steps, ascend, x0)
+
+            x_stars = jax.lax.stop_gradient(jax.vmap(ascend_from)(seeds))  # (k, d)
+            vals = jax.vmap(lambda xx: mean_at(xx, st))(x_stars)
+            # never move below the best discrete seed's value
+            return jnp.maximum(jnp.max(vals), jnp.max(m[0]))
         return jnp.max(m[0])
 
     vals = jax.vmap(one_fantasy)(fant_y)
@@ -158,17 +170,28 @@ def q_max_value_entropy(
     model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
     candidate_set: jnp.ndarray, key, num_max_samples: int = 16,
     cfg: SolverConfig = DEFAULT_CONFIG, num_fantasies: int = 8,
-    noise_value: float = 1.0,
+    noise_value: float = 1.0, max_value_method: str = "joint",
 ) -> jnp.ndarray:
-    """qMVES via the Gumbel max-value approximation (Wang & Jegelka 2017;
-    the reference uses botorch's ``qMaxValueEntropy``,
-    ``experiments/bayesopt/utils.py:96-101``).
+    """qMVES — max-value entropy search (the reference uses botorch's
+    ``qMaxValueEntropy``, ``experiments/bayesopt/utils.py:96-101``).
 
-    Max-values y* are sampled from a Gumbel fit to the distribution of
-    max_i f(s_i) over the candidate set; the information gain at x is the
-    truncated-normal entropy-difference formula
+    Max-values y* are sampled from the posterior of max_i f(s_i) over the
+    candidate set; the information gain at x is the truncated-normal
+    entropy-difference formula
       a(x) = E_{y*}[ gamma phi(gamma) / (2 Phi(gamma)) - log Phi(gamma) ],
       gamma = (y* - mu(x)) / sigma(x).
+
+    ``max_value_method`` selects the y* sampler:
+
+    - ``"joint"`` (default, the reference's): draw ``num_max_samples``
+      JOINT posterior samples over the candidate set (mean + R eps with
+      the grid-space covariance root from ``wiski_predict_root``) and take
+      each draw's max — candidate correlations shape the max-value
+      distribution exactly, where the product-of-marginal-CDFs fit
+      overstates the max when candidates are correlated.
+    - ``"gumbel"``: Wang & Jegelka (2017) approximation — fit a Gumbel to
+      the product of marginal CDFs at the 0.25/0.5/0.75 quantiles and
+      sample from it. Cheaper (no m-dim root draw) but marginal-only.
 
     For q > 1 the joint gain is priced with the sequential decomposition
     botorch's ``qMaxValueEntropy`` uses (fantasization): the batch value is
@@ -182,32 +205,44 @@ def q_max_value_entropy(
     dwarfs the posterior variance).
     """
     key, k_fant = jax.random.split(key)
-    mean_c, var_c = wiski_predict(model, params, state, candidate_set, cfg)
-    mu, sd = mean_c[0], jnp.sqrt(jnp.maximum(var_c[0], 1e-12))
+    if max_value_method == "joint":
+        # exact max-value sampler: max over joint posterior draws at the
+        # candidate set (each draw prices every cross-candidate covariance)
+        f_cand = _joint_samples(
+            model, params, state, candidate_set, key, num_max_samples, cfg
+        )  # (S, n_cand)
+        y_star = jnp.max(f_cand, axis=-1)  # (S,)
+    elif max_value_method == "gumbel":
+        mean_c, var_c = wiski_predict(model, params, state, candidate_set, cfg)
+        mu, sd = mean_c[0], jnp.sqrt(jnp.maximum(var_c[0], 1e-12))
 
-    # Gumbel fit: match P(max <= y) ~= prod Phi((y-mu)/sd) at 0.25/0.5/0.75
-    def cdf_max(y):
-        return jnp.sum(jax.scipy.stats.norm.logcdf((y - mu) / sd))
+        # Gumbel fit: match P(max <= y) ~= prod Phi((y-mu)/sd) at 0.25/0.5/0.75
+        def cdf_max(y):
+            return jnp.sum(jax.scipy.stats.norm.logcdf((y - mu) / sd))
 
-    lo = jnp.min(mu - 5 * sd)
-    hi = jnp.max(mu + 5 * sd)
+        lo = jnp.min(mu - 5 * sd)
+        hi = jnp.max(mu + 5 * sd)
 
-    def quantile(p):
-        def body(_, ab):
-            a, b = ab
-            mid = 0.5 * (a + b)
-            below = cdf_max(mid) < jnp.log(p)
-            return jnp.where(below, mid, a), jnp.where(below, b, mid)
+        def quantile(p):
+            def body(_, ab):
+                a, b = ab
+                mid = 0.5 * (a + b)
+                below = cdf_max(mid) < jnp.log(p)
+                return jnp.where(below, mid, a), jnp.where(below, b, mid)
 
-        a, b = jax.lax.fori_loop(0, 30, body, (lo, hi))
-        return 0.5 * (a + b)
+            a, b = jax.lax.fori_loop(0, 30, body, (lo, hi))
+            return 0.5 * (a + b)
 
-    y25, y50, y75 = quantile(0.25), quantile(0.5), quantile(0.75)
-    # Gumbel(loc, scale) from the quartiles
-    b = jnp.maximum((y75 - y25) / (jnp.log(jnp.log(4.0)) - jnp.log(jnp.log(4.0 / 3.0))), 1e-6)
-    a = y50 + b * jnp.log(jnp.log(2.0))
-    u = jax.random.uniform(key, (num_max_samples,), minval=1e-4, maxval=1 - 1e-4)
-    y_star = a - b * jnp.log(-jnp.log(u))  # (S,)
+        y25, y50, y75 = quantile(0.25), quantile(0.5), quantile(0.75)
+        # Gumbel(loc, scale) from the quartiles
+        b = jnp.maximum((y75 - y25) / (jnp.log(jnp.log(4.0)) - jnp.log(jnp.log(4.0 / 3.0))), 1e-6)
+        a = y50 + b * jnp.log(jnp.log(2.0))
+        u = jax.random.uniform(key, (num_max_samples,), minval=1e-4, maxval=1 - 1e-4)
+        y_star = a - b * jnp.log(-jnp.log(u))  # (S,)
+    else:
+        raise ValueError(
+            f"unknown max_value_method {max_value_method!r} (joint/gumbel)"
+        )
 
     def gain_at(st, x_eval, ys):
         """E_{y*} truncated-normal information gain, summed over x_eval."""

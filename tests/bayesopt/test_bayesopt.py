@@ -157,6 +157,52 @@ def test_bayesopt_qbatch_improves():
     assert out["best_per_step"][-1] >= out["best_per_step"][0]
 
 
+def test_qmves_joint_sampler_vs_gumbel(wiski_posterior):
+    """The joint max-value sampler prices cross-candidate covariance: on a
+    candidate set of N COPIES of one point the true max-value distribution
+    is the single-point marginal, while the product-of-marginal-CDFs
+    Gumbel fit overstates the max (as if the N copies were independent).
+    Overstated y* -> smaller truncated-normal gain, so the joint form must
+    report strictly more information gain on the duplicated set."""
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(11)
+    dup_cand = jnp.tile(jnp.asarray([[0.4, -0.3]]), (32, 1))
+    xq = jnp.asarray([[0.35, -0.25]])
+    v_joint = float(acq.q_max_value_entropy(
+        model, params, state, xq, dup_cand, key, num_max_samples=64,
+        max_value_method="joint"))
+    v_gumbel = float(acq.q_max_value_entropy(
+        model, params, state, xq, dup_cand, key, num_max_samples=64,
+        max_value_method="gumbel"))
+    assert np.isfinite(v_joint) and np.isfinite(v_gumbel)
+    assert v_joint > v_gumbel  # marginal fit overstates y* -> understates gain
+
+    # joint sampler stays differentiable w.r.t. the query
+    g = jax.grad(lambda X: acq.q_max_value_entropy(
+        model, params, state, X, dup_cand, key, num_max_samples=16,
+        max_value_method="joint"))(xq)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_qkg_multistart_dominates_single_start(wiski_posterior):
+    """Multi-start inner maximization includes the single-start seed, so
+    its value can only match or beat the single-start lookahead
+    (VERDICT r2 item 4)."""
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(12)
+    disc = jax.random.uniform(key, (12, 2), minval=-1, maxval=1)
+    cand = jnp.asarray([[0.25, 0.15]])
+    kwargs = dict(num_fantasies=4, lookahead_steps=15)
+    kg_single = acq.q_knowledge_gradient(
+        model, params, state, cand, disc, jnp.asarray(0.5), key,
+        num_inner_restarts=1, **kwargs)
+    kg_multi = acq.q_knowledge_gradient(
+        model, params, state, cand, disc, jnp.asarray(0.5), key,
+        num_inner_restarts=4, **kwargs)
+    assert np.isfinite(float(kg_multi))
+    assert float(kg_multi) >= float(kg_single) - 1e-6
+
+
 def test_qmves_qbatch_discounts_correlated_candidates(wiski_posterior):
     """q>1 MVES uses the sequential fantasy decomposition (botorch's
     qMaxValueEntropy strategy): a duplicated candidate must add far less

@@ -46,6 +46,28 @@ def test_regression_driver_end_to_end(tmp_path):
         assert col in header, col
 
 
+def test_fixed_noise_both_arms(tmp_path):
+    """``arm=both`` runs the WISKI and exact-GP timing arms on the same
+    stream and writes the side-by-side comparison CSV (the reference's
+    ``botorch_regression.py`` vs ``wiski_regression.py`` evidence pair)."""
+    from online_gp_tpu.experiments.fixed_noise_regression import run
+
+    out = run(num_steps=6, num_init=16, num_test=32, grid_size=8,
+              chunk_size=1, mll_iters_per_step=1, eval_every=3,
+              log_dir=str(tmp_path), verbose=False, arm="both")
+    assert out["wiski"]["steps"] == 6 and out["exact"]["steps"] == 6
+    assert np.isfinite(out["cond_speedup"]) and np.isfinite(out["mll_speedup"])
+    # both arms saw identical points -> RMSEs land in the same ballpark
+    w_rmse = out["wiski"]["eval_rows"][-1]["test_rmse"]
+    e_rmse = out["exact"]["eval_rows"][-1]["test_rmse"]
+    assert np.isfinite(w_rmse) and np.isfinite(e_rmse)
+    assert os.path.exists(out["comparison_csv"])
+    header = open(out["comparison_csv"]).readline().strip().split(",")
+    for col in ("wiski_rmse", "exact_rmse", "wiski_cond_ms", "exact_cond_ms",
+                "cond_speedup"):
+        assert col in header, col
+
+
 def test_classification_driver_end_to_end(tmp_path):
     from online_gp_tpu.experiments.classification import classification_trial
 
