@@ -55,6 +55,7 @@ def run_active_learning(
     data_path=None,
     logger=None,
     verbose: bool = True,
+    checkpoint_path=None,
 ) -> Dict:
     data = malaria_dataset(data_path, seed=seed)
     rng = np.random.default_rng(seed)
@@ -184,7 +185,19 @@ def run_active_learning(
         if verbose and (step_i % 5 == 4 or step_i == 0):
             print(f"step {step_i+1}: test RMSE {rmse:.4f}, avg var {avg_var:.4f}")
 
-    return dict(records=records, num_queried=len(queried), synthetic_data=data.synthetic)
+    if checkpoint_path is not None:
+        # persist the final surrogate + query trace, matching the
+        # reference's end-of-run ``torch.save(model.state_dict(), ...)``
+        # (``qnIPV_experiment.py:233-238``)
+        from online_gp_tpu.utils.checkpoint import save_pytree
+
+        save_pytree(checkpoint_path, dict(
+            params=params, state=state,
+            queried=jnp.asarray(np.asarray(queried, dtype=np.int64)),
+        ))
+
+    return dict(records=records, num_queried=len(queried), synthetic_data=data.synthetic,
+                checkpoint=checkpoint_path)
 
 
 def main():

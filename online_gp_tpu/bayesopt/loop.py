@@ -33,6 +33,57 @@ from online_gp_tpu.bayesopt import acquisitions as acq
 from online_gp_tpu.bayesopt.optimize import optimize_acqf
 
 
+def make_fit_fn(model, cfg, fit_method: str, fit_iters: int, fit_lr: float):
+    """Build the per-step hyper-refit: ``(opt, fit)`` where
+    ``fit(params, state, opt_state) -> (params, opt_state, last_loss)``
+    runs ``fit_iters`` optimizer steps on -sum(wiski_mll).
+
+    ``"adam"`` is a fixed-count Adam scan; ``"lbfgs"`` is optax L-BFGS
+    with zoom linesearch — the optimizer class of the reference's
+    per-step ``fit_gpytorch_model`` L-BFGS-B refit
+    (``experiments/bayesopt/bayesopt.py:187``), which typically reaches a
+    lower loss at the same step budget."""
+    if fit_method == "lbfgs":
+        opt = optax.lbfgs()
+
+        @jax.jit
+        def fit(params, state, opt_state):
+            # linesearch caches (value, grad) in the optimizer state with
+            # the params' dtype — return the loss in that dtype so the
+            # cached and freshly-computed branches type-match under x64
+            loss_dtype = jnp.result_type(*jax.tree.leaves(params))
+
+            def loss_fn(pp):
+                return (-jnp.sum(wiski_mll(model, pp, state, cfg))).astype(loss_dtype)
+
+            value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+            def step(carry, _):
+                p, os_ = carry
+                loss, g = value_and_grad(p, state=os_)
+                up, os_ = opt.update(g, os_, p, value=loss, grad=g, value_fn=loss_fn)
+                return (optax.apply_updates(p, up), os_), loss
+
+            (p, os_), losses = jax.lax.scan(step, (params, opt_state), None, length=fit_iters)
+            return p, os_, losses[-1]
+    elif fit_method == "adam":
+        opt = optax.adam(fit_lr)
+
+        @jax.jit
+        def fit(params, state, opt_state):
+            def step(carry, _):
+                p, os_ = carry
+                loss, g = jax.value_and_grad(lambda pp: -jnp.sum(wiski_mll(model, pp, state, cfg)))(p)
+                up, os_ = opt.update(g, os_, p)
+                return (optax.apply_updates(p, up), os_), loss
+
+            (p, os_), losses = jax.lax.scan(step, (params, opt_state), None, length=fit_iters)
+            return p, os_, losses[-1]
+    else:
+        raise ValueError(f"unknown fit_method {fit_method!r} (adam/lbfgs)")
+    return opt, fit
+
+
 def _normalize(x, bounds):
     return 2.0 * (x - bounds[:, 0]) / (bounds[:, 1] - bounds[:, 0]) - 1.0
 
@@ -52,12 +103,25 @@ def run_bayesopt(
     noise_std: float = 0.1,
     fit_iters: int = 50,
     fit_lr: float = 0.05,
+    fit_method: str = "adam",
     seed: int = 0,
     cfg: SolverConfig = SolverConfig(use_toeplitz=True),
     logger=None,
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
 ) -> Dict:
-    """Returns dict with best values per step and timing."""
+    """Returns dict with best values per step and timing.
+
+    ``fit_method`` selects the per-step hyper refit optimizer:
+    ``"adam"`` (fixed-count Adam scan) or ``"lbfgs"`` (optax L-BFGS with
+    zoom linesearch — the second-order optimizer class the reference's
+    ``fit_gpytorch_model`` L-BFGS-B refit uses every BO step,
+    ``experiments/bayesopt/bayesopt.py:187``; typically reaches a better
+    MLL optimum at the same step budget).
+
+    ``checkpoint_path`` (optional) persists the final surrogate — hypers,
+    WISKI caches, and the queried data — via ``utils.checkpoint``
+    (reference ``bayesopt.py:265-275`` ``torch.save``s the equivalent)."""
     fn = make_test_function(function, dim)
     key = jax.random.PRNGKey(seed)
     kernel = make_kernel("rbf")
@@ -75,18 +139,7 @@ def run_bayesopt(
 
     state = wiski_init(model, train_u, train_y, jnp.ones_like(train_y))
 
-    opt = optax.adam(fit_lr)
-
-    @jax.jit
-    def fit(params, state, opt_state):
-        def step(carry, _):
-            p, os_ = carry
-            loss, g = jax.value_and_grad(lambda pp: -jnp.sum(wiski_mll(model, pp, state, cfg)))(p)
-            up, os_ = opt.update(g, os_, p)
-            return (optax.apply_updates(p, up), os_), loss
-
-        (p, os_), losses = jax.lax.scan(step, (params, opt_state), None, length=fit_iters)
-        return p, os_, losses[-1]
+    opt, fit = make_fit_fn(model, cfg, fit_method, fit_iters, fit_lr)
 
     best_per_step = [float(jnp.max(latent))]
     records = []
@@ -149,7 +202,17 @@ def run_bayesopt(
             print(f"step {step_i+1}: best {best_per_step[-1]:.4f} acq {float(acq_val):.4f} "
                   f"(fit {t_fit:.2f}s acq {t_acq:.2f}s cond {t_cond*1e3:.1f}ms)")
 
-    return dict(best_per_step=best_per_step, records=records, optimal=fn.optimal_value)
+    if checkpoint_path is not None:
+        from online_gp_tpu.utils.checkpoint import save_pytree
+
+        save_pytree(checkpoint_path, dict(
+            params=params, state=state, train_u=train_u, train_y=train_y,
+            y_mean=y_mean, y_std=y_std,
+            best_per_step=jnp.asarray(best_per_step),
+        ))
+
+    return dict(best_per_step=best_per_step, records=records, optimal=fn.optimal_value,
+                checkpoint=checkpoint_path)
 
 
 def main():

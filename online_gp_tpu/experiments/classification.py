@@ -11,6 +11,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -19,6 +20,7 @@ import numpy as np
 from online_gp_tpu.experiments.config import parse_config
 from online_gp_tpu.experiments.common import build_model, load_dataset
 from online_gp_tpu.logging import CSVLogger
+from online_gp_tpu.utils.checkpoint import save_wrapper
 
 
 def _predict_labels(model, x):
@@ -98,7 +100,9 @@ def classification_trial(cfg) -> dict:
     logger.write_csv()
     final_acc = online_model.evaluate(test_x, test_y)
     print(f"final online test acc {final_acc:.4f}")
-    return dict(test_acc=final_acc, log_dir=logger.log_dir)
+    ckpt = os.path.join(logger.log_dir, "final_state")
+    save_wrapper(ckpt, online_model)
+    return dict(test_acc=final_acc, log_dir=logger.log_dir, checkpoint=ckpt)
 
 
 def main():

@@ -13,6 +13,7 @@ Usage (Hydra-style overrides):
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -22,6 +23,7 @@ import numpy as np
 from online_gp_tpu.experiments.config import parse_config
 from online_gp_tpu.experiments.common import build_model, load_dataset, pretrain_stem
 from online_gp_tpu.logging import CSVLogger
+from online_gp_tpu.utils.checkpoint import save_wrapper
 
 
 def online_regression(batch_model, online_model, train_x, train_y, test_x, test_y,
@@ -114,7 +116,13 @@ def regression_trial(cfg) -> dict:
     final_rmse, final_nll = online_model.evaluate(test_x, test_y)
     print(f"final online test RMSE {final_rmse:.4f} NLL {final_nll:.4f} "
           f"(dataset baseline: {cfg['dataset'].get('baseline_rmse')})")
-    return dict(test_rmse=final_rmse, test_nll=final_nll, log_dir=logger.log_dir)
+    # persist the final online model (reference experiments torch.save the
+    # state dict + results at exit, ``qnIPV_experiment.py:233-238``); a
+    # fresh wrapper restored via ``load_wrapper`` continues the stream
+    ckpt = os.path.join(logger.log_dir, "final_state")
+    save_wrapper(ckpt, online_model)
+    return dict(test_rmse=final_rmse, test_nll=final_nll, log_dir=logger.log_dir,
+                checkpoint=ckpt)
 
 
 def main():

@@ -203,6 +203,52 @@ def test_qkg_multistart_dominates_single_start(wiski_posterior):
     assert float(kg_multi) >= float(kg_single) - 1e-6
 
 
+def test_lbfgs_fit_beats_adam_at_same_budget(wiski_posterior):
+    """The BO loop's optional L-BFGS refit (reference
+    ``fit_gpytorch_model``'s optimizer class) must reach a lower MLL loss
+    than Adam at the same step budget on a fixed posterior fixture
+    (VERDICT r2 item 10)."""
+    from online_gp_tpu.config import SolverConfig
+    from online_gp_tpu.bayesopt.loop import make_fit_fn
+
+    model, params, state, x = wiski_posterior
+    cfg = SolverConfig()
+    losses = {}
+    for method in ("adam", "lbfgs"):
+        opt, fit = make_fit_fn(model, cfg, method, fit_iters=20, fit_lr=0.05)
+        p, _, last = fit(params, state, opt.init(params))
+        from online_gp_tpu.models.wiski import wiski_mll
+        losses[method] = float(-jnp.sum(wiski_mll(model, p, state, cfg)))
+        assert np.isfinite(losses[method]), method
+    assert losses["lbfgs"] <= losses["adam"] + 1e-6
+
+
+def test_bayesopt_lbfgs_loop_and_checkpoint(tmp_path):
+    """End-to-end lbfgs BO arm runs, improves, and persists a restorable
+    final surrogate (params + caches + queried data)."""
+    jax.config.update("jax_platforms", "cpu")
+    from online_gp_tpu.bayesopt.loop import run_bayesopt
+    from online_gp_tpu.utils.checkpoint import load_pytree
+
+    ckpt = str(tmp_path / "bo_final")
+    out = run_bayesopt(function="Ackley", dim=2, acqf="ucb", num_steps=4, num_init=8,
+                       grid_size=8, fit_iters=15, seed=0, verbose=False,
+                       fit_method="lbfgs", checkpoint_path=ckpt)
+    assert out["best_per_step"][-1] >= out["best_per_step"][0]
+
+    blob = load_pytree(ckpt)
+    assert set(blob) >= {"params", "state", "train_u", "train_y"}
+    # the restored surrogate predicts finitely at the queried points
+    from online_gp_tpu.kernels.base import make_kernel
+    from online_gp_tpu.models.wiski import WiskiModel, wiski_predict
+
+    grid = Grid.create([(-1.1, 1.1)] * 2, 8)
+    model = WiskiModel(make_kernel("rbf"), grid, num_outputs=1,
+                       learn_additional_noise=True)
+    mean, var = wiski_predict(model, blob["params"], blob["state"], blob["train_u"])
+    assert bool(jnp.isfinite(mean).all() & jnp.isfinite(var).all())
+
+
 def test_qmves_qbatch_discounts_correlated_candidates(wiski_posterior):
     """q>1 MVES uses the sequential fantasy decomposition (botorch's
     qMaxValueEntropy strategy): a duplicated candidate must add far less

@@ -50,6 +50,76 @@ def test_mesh_sweep_arbitrary_config(tmp_path):
 def test_mesh_sweep_rejects_unsupported_model(tmp_path):
     with pytest.raises(ValueError, match="mode=mesh"):
         mesh_regression_sweep(2, ["model=svgp_regression", f"log_dir={tmp_path}"])
+    # run_sweep dispatch: models without a vmappable mesh core still error
+    with pytest.raises(ValueError, match="mode=mesh"):
+        run_sweep(2, "mesh", ["model=localgp_regression", f"log_dir={tmp_path}"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_mesh_sweep_classification(tmp_path):
+    """wiski_gpd trials vmapped over the mesh (VERDICT r2 item 8)."""
+    results = run_sweep(
+        4,
+        "mesh",
+        [
+            "model=wiski_gpd",
+            "dataset=banana",
+            "stem=eye",
+            "model.grid_size=8",
+            "num_batch_epochs=10",
+            "max_stream=48",
+            "logging_freq=16",
+            f"log_dir={tmp_path}",
+        ],
+    )
+    assert len(results) == 4
+    for r in results:
+        assert 0.0 <= r["test_acc"] <= 1.0
+        path = os.path.join(r["log_dir"], "online_metrics.csv")
+        assert os.path.exists(path)
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        for col in ("stem_loss", "gp_loss", "online_acc", "batch_acc",
+                    "regret", "test_acc", "step_time"):
+            assert col in rows[0], col
+        assert np.isclose(float(rows[-1]["test_acc"]), r["test_acc"], rtol=1e-5)
+    # banana is learnable even in 48 streamed points on top of pretrain
+    assert max(r["test_acc"] for r in results) >= 0.7
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_mesh_sweep_svgp_regression(tmp_path):
+    """streaming O-SVGP trials vmapped over the mesh (VERDICT r2 item 8)."""
+    results = run_sweep(
+        4,
+        "mesh",
+        [
+            "model=svgp_regression",
+            "model.num_inducing=16",
+            "model.num_update_steps=2",
+            "dataset=friedman",
+            "dataset.input_dim=2",
+            "stem=eye",
+            "stem.input_dim=2",
+            "num_batch_epochs=10",
+            "max_stream=32",
+            "batch_size=4",
+            "logging_freq=4",
+            f"log_dir={tmp_path}",
+        ],
+    )
+    assert len(results) == 4
+    for r in results:
+        assert np.isfinite(r["test_rmse"]) and np.isfinite(r["test_nll"])
+        path = os.path.join(r["log_dir"], "online_metrics.csv")
+        assert os.path.exists(path)
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        for col in ("gp_loss", "online_rmse", "online_nll", "test_rmse",
+                    "test_nll", "noise", "step_time"):
+            assert col in rows[0], col
+    # distinct seeds -> distinct streams/inits -> distinct results
+    assert len({round(r["test_rmse"], 9) for r in results}) > 1
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
