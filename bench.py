@@ -203,6 +203,7 @@ def bench_full_update(model, grid, d):
         wiski_condition,
         wiski_init,
         wiski_mll,
+        wiski_prediction_caches,
     )
 
     params = model.init_params(d)
@@ -216,7 +217,14 @@ def bench_full_update(model, grid, d):
     x0 = jax.random.uniform(kx, (256, d), minval=-1, maxval=1)
     f0, _ = stem.apply(stem_params, bn_state, x0, train=False)
     y0 = jnp.sin(3 * x0[:, :1])
-    state = wiski_init(model, jax.lax.stop_gradient(f0), y0, jnp.ones_like(y0))
+    # slim state: the production OnlineSKIRegression(slim_state=True)
+    # configuration — conditioning maintains only the two roots (Pallas
+    # fused rank-1 path) instead of the full Gram accumulator
+    from online_gp_tpu.models.wiski import wiski_slim
+
+    state = wiski_slim(
+        wiski_init(model, jax.lax.stop_gradient(f0), y0, jnp.ones_like(y0))
+    )
 
     gp_opt = optax.adam(1e-2)
     stem_opt = optax.adam(1e-2)
@@ -225,9 +233,17 @@ def bench_full_update(model, grid, d):
         params, sp, gp_os, st_os, state = carry
         x, y = inp  # (1, d), (1, 1)
 
+        # one cache rebuild per step, shared by the stem objective (the
+        # reference rebuilds per loss via zero_grad -> _dump_caches,
+        # ``batched_fixed_noise_online_gp.py:406-418``; sharing it is a
+        # semantics-identical win)
+        caches = wiski_prediction_caches(model, params, state, cfg)
+
         def stem_loss(sp_):
             feats, _ = stem.apply(sp_, bn_state, x, train=False)
-            return -jnp.sum(sm_partial_mll(model, params, state, feats, y, cfg))
+            return -jnp.sum(
+                sm_partial_mll(model, params, state, feats, y, cfg, caches=caches)
+            )
 
         s_loss, s_grads = jax.value_and_grad(stem_loss)(sp)
         s_up, st_os = stem_opt.update(s_grads, st_os, sp)

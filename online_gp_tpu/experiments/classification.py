@@ -19,7 +19,7 @@ import numpy as np
 
 from online_gp_tpu.experiments.config import parse_config
 from online_gp_tpu.experiments.common import build_model, load_dataset
-from online_gp_tpu.logging import CSVLogger
+from online_gp_tpu.logging import make_logger
 from online_gp_tpu.utils.checkpoint import save_wrapper
 
 
@@ -68,7 +68,7 @@ def online_classification(batch_model, online_model, train_x, train_y, test_x, t
 
 
 def classification_trial(cfg) -> dict:
-    logger = CSVLogger(cfg["log_dir"], f"{cfg['model']['name']}-{cfg['dataset']['name']}-trial{cfg['trial_id']}")
+    logger = make_logger(cfg, f"{cfg['model']['name']}-{cfg['dataset']['name']}-trial{cfg['trial_id']}")
     logger.write_config(cfg)
     train_x, train_y, test_x, test_y = load_dataset(cfg)
     print(f"dataset {cfg['dataset']['name']}: train {train_x.shape}, test {test_x.shape}")
