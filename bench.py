@@ -113,6 +113,16 @@ def main():
 
     preq = bench_prequential(model, state, xs, ys, ns)
     full = bench_full_update(model, grid, d)
+    # chunked full-update is opt-in (adds ~2 fresh jit signatures; keeps
+    # the default driver-run bench within its time budget):
+    #   python bench.py --chunk32
+    import sys
+
+    full32 = (
+        bench_full_update(model, grid, d, chunk=32)
+        if "--chunk32" in sys.argv
+        else None
+    )
 
     print(
         json.dumps(
@@ -124,6 +134,11 @@ def main():
                 "extra": {
                     "prequential_eval_update_per_sec": round(preq, 1),
                     "full_update_per_sec": round(full, 1),
+                    **(
+                        {"full_update_chunk32_per_sec": round(full32, 1)}
+                        if full32 is not None
+                        else {}
+                    ),
                 },
             }
         )
@@ -189,11 +204,15 @@ def bench_prequential(model, state, xs, ys, ns):
     return best
 
 
-def bench_full_update(model, grid, d):
-    """The complete L5 ``update()`` per point: stem gradient step
-    (sm_partial_mll) + GP hyper gradient step (Woodbury MLL,
-    skip_logdet_forward) + condition — ``api/regression.py`` semantics in
-    one scanned jit."""
+def bench_full_update(model, grid, d, chunk: int = 1):
+    """The complete L5 ``update()`` per chunk of ``chunk`` points: stem
+    gradient step (sm_partial_mll) + GP hyper gradient step (Woodbury
+    MLL, skip_logdet_forward) + condition — ``api/regression.py``
+    semantics in one scanned jit. ``chunk=1`` is the reference's
+    per-point loop (``experiments/regression.py:49-54`` at
+    batch_size=1); larger chunks are the same drivers at larger
+    batch_size, amortizing the per-step O(m^3) cache/Q rebuild over the
+    chunk. Returns points/s."""
     import optax
 
     from online_gp_tpu.api.stems import LinearStem
@@ -231,7 +250,7 @@ def bench_full_update(model, grid, d):
 
     def full_update(carry, inp):
         params, sp, gp_os, st_os, state = carry
-        x, y = inp  # (1, d), (1, 1)
+        x, y = inp  # (chunk, d), (chunk, 1)
 
         # one cache rebuild per step, shared by the stem objective (the
         # reference rebuilds per loss via zero_grad -> _dump_caches,
@@ -270,9 +289,11 @@ def bench_full_update(model, grid, d):
         )
         return carry, losses
 
-    n = 256
-    xs = jax.random.uniform(ky, (n, 1, d), minval=-1, maxval=1)
-    ys = jnp.sin(3 * xs[..., :1])[:, 0, :][:, None, :]
+    n = max(256, 8 * chunk)
+    n_chunks = n // chunk
+    n = n_chunks * chunk
+    xs = jax.random.uniform(ky, (n_chunks, chunk, d), minval=-1, maxval=1)
+    ys = jnp.sin(3 * xs[..., :1])
 
     carry, losses = run(params, stem_params, state, xs, ys)
     jax.block_until_ready(carry[0]["kernel"]["raw_lengthscale"])

@@ -104,6 +104,18 @@ class OnlineSKILowRankRegression:
         return self._jit_cache[key]
 
     def update(self, inputs, targets, update_stem: bool = True, update_gp: bool = True):
+        if update_stem and self.stem.has_params and not getattr(self, "_warned_stem", False):
+            import warnings
+
+            self._warned_stem = True  # once per wrapper, not per update
+            warnings.warn(
+                "low-rank core updates are hyper+condition only: the "
+                "sm_partial_mll stem objective needs the dense m x m "
+                "predictive covariance cache the m x k regime never "
+                "materializes — update_stem is ignored (pretrain the stem "
+                "or use the dense core for online stem adaptation)",
+                stacklevel=2,
+            )
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
         targets = jnp.asarray(targets).reshape(-1, 1)
         feats = self._features(inputs)
