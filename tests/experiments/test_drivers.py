@@ -116,3 +116,21 @@ def test_classification_driver_end_to_end(tmp_path):
     out = classification_trial(cfg)
     assert out["test_acc"] >= 0.7
     assert os.path.exists(os.path.join(out["log_dir"], "online_metrics.csv"))
+
+    # checkpoint/resume: a fresh classifier restored from the driver's
+    # final_state reproduces the final accuracy and keeps streaming
+    from online_gp_tpu.experiments.common import build_model, load_dataset
+    from online_gp_tpu.utils.checkpoint import load_wrapper
+
+    assert os.path.exists(out["checkpoint"] + ".npz")
+    train_x, train_y, test_x, test_y = load_dataset(cfg)
+    num_init = int(cfg["model"]["init_ratio"] * len(train_x))
+    fresh = build_model(cfg, train_x[:num_init], train_y[:num_init])
+    load_wrapper(out["checkpoint"], fresh)
+    acc = fresh.evaluate(test_x, test_y)
+    assert abs(acc - out["test_acc"]) < 1e-6
+    sl, gl = fresh.update(train_x[num_init + 70 : num_init + 71],
+                          train_y[num_init + 70 : num_init + 71],
+                          update_stem=False)
+    assert np.isfinite(gl)
+    assert np.isfinite(fresh.evaluate(test_x, test_y))
