@@ -203,18 +203,9 @@ def run_active_learning(
 def main():
     import sys
 
-    kwargs = {}
-    for arg in sys.argv[1:]:
-        k, v = arg.split("=", 1)
-        try:
-            v = int(v)
-        except ValueError:
-            try:
-                v = float(v)
-            except ValueError:
-                pass
-        kwargs[k] = v
-    out = run_active_learning(**kwargs)
+    from online_gp_tpu.experiments.config import parse_cli_kwargs
+
+    out = run_active_learning(**parse_cli_kwargs(sys.argv[1:]))
     print("final:", out["records"][-1])
 
 

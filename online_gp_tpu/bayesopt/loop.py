@@ -109,6 +109,7 @@ def run_bayesopt(
     logger=None,
     verbose: bool = True,
     checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ) -> Dict:
     """Returns dict with best values per step and timing.
 
@@ -121,27 +122,46 @@ def run_bayesopt(
 
     ``checkpoint_path`` (optional) persists the final surrogate — hypers,
     WISKI caches, and the queried data — via ``utils.checkpoint``
-    (reference ``bayesopt.py:265-275`` ``torch.save``s the equivalent)."""
+    (reference ``bayesopt.py:265-275`` ``torch.save``s the equivalent).
+    ``resume_from`` warm-starts from such a checkpoint: the loop skips
+    the random init and continues the campaign with the saved hypers,
+    caches, queried points, and standardization constants (``function``/
+    ``dim``/``grid_size``/``noise_std`` must match the saving run)."""
     fn = make_test_function(function, dim)
     key = jax.random.PRNGKey(seed)
     kernel = make_kernel("rbf")
     grid = Grid.create([(-1.1, 1.1)] * dim, grid_size)
     model = WiskiModel(kernel, grid, num_outputs=1, learn_additional_noise=True)
-    params = model.init_params(dim)
 
-    key, k_init, k_noise = jax.random.split(key, 3)
-    raw_x = jax.random.uniform(k_init, (num_init, dim), minval=-1.0, maxval=1.0)
-    train_u = raw_x
-    train_x = _denormalize(train_u, fn.bounds)
-    y, latent = fn.noisy(train_x, k_noise, noise_std)
-    y_mean, y_std = jnp.mean(y), jnp.std(y) + 1e-6
-    train_y = ((y - y_mean) / y_std)[:, None]
+    if resume_from is not None:
+        from online_gp_tpu.utils.checkpoint import load_pytree
 
-    state = wiski_init(model, train_u, train_y, jnp.ones_like(train_y))
+        blob = load_pytree(resume_from)
+        params, state = blob["params"], blob["state"]
+        train_u, train_y = blob["train_u"], blob["train_y"]
+        y_mean, y_std = blob["y_mean"], blob["y_std"]
+        latent = blob["latent"]
+        if train_u.shape[-1] != dim:
+            raise ValueError(
+                f"checkpoint dim {train_u.shape[-1]} != requested dim {dim}"
+            )
+        key, _ = jax.random.split(jax.random.fold_in(key, train_u.shape[0]))
+        best_per_step = [float(v) for v in np.asarray(blob["best_per_step"])]
+    else:
+        params = model.init_params(dim)
+        key, k_init, k_noise = jax.random.split(key, 3)
+        raw_x = jax.random.uniform(k_init, (num_init, dim), minval=-1.0, maxval=1.0)
+        train_u = raw_x
+        train_x = _denormalize(train_u, fn.bounds)
+        y, latent = fn.noisy(train_x, k_noise, noise_std)
+        y_mean, y_std = jnp.mean(y), jnp.std(y) + 1e-6
+        train_y = ((y - y_mean) / y_std)[:, None]
+
+        state = wiski_init(model, train_u, train_y, jnp.ones_like(train_y))
+        best_per_step = [float(jnp.max(latent))]
 
     opt, fit = make_fit_fn(model, cfg, fit_method, fit_iters, fit_lr)
 
-    best_per_step = [float(jnp.max(latent))]
     records = []
     best_f = jnp.max(train_y)
 
@@ -207,7 +227,7 @@ def run_bayesopt(
 
         save_pytree(checkpoint_path, dict(
             params=params, state=state, train_u=train_u, train_y=train_y,
-            y_mean=y_mean, y_std=y_std,
+            y_mean=y_mean, y_std=y_std, latent=latent,
             best_per_step=jnp.asarray(best_per_step),
         ))
 
@@ -218,18 +238,9 @@ def run_bayesopt(
 def main():
     import sys
 
-    kwargs = {}
-    for arg in sys.argv[1:]:
-        k, v = arg.split("=", 1)
-        try:
-            v = int(v)
-        except ValueError:
-            try:
-                v = float(v)
-            except ValueError:
-                pass
-        kwargs[k] = v
-    out = run_bayesopt(**kwargs)
+    from online_gp_tpu.experiments.config import parse_cli_kwargs
+
+    out = run_bayesopt(**parse_cli_kwargs(sys.argv[1:]))
     print("best value trajectory:", [round(v, 3) for v in out["best_per_step"]])
 
 

@@ -97,6 +97,19 @@ def _set_dotted(cfg: Dict, dotted: str, value: str):
     node[keys[-1]] = _parse_value(value)
 
 
+def parse_cli_kwargs(argv: List[str]) -> Dict[str, Any]:
+    """``key=value`` CLI args -> kwargs with int/float/bool/None coercion
+    (shared by the standalone drivers' ``main()``s: bayesopt loop, active
+    learning, fixed-noise benchmark)."""
+    kwargs: Dict[str, Any] = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"argument {arg!r} must be key=value")
+        k, v = arg.split("=", 1)
+        kwargs[k] = _parse_value(v)
+    return kwargs
+
+
 def _parse_value(v: str) -> Any:
     for cast in (int, float):
         try:

@@ -316,18 +316,9 @@ def _write_comparison(w: Dict, e: Dict, log_dir: str) -> str:
 
 
 def main():
-    kwargs = {}
-    for arg in sys.argv[1:]:
-        k, v = arg.split("=", 1)
-        try:
-            v = int(v)
-        except ValueError:
-            try:
-                v = float(v)
-            except ValueError:
-                pass
-        kwargs[k] = v
-    out = run(**kwargs)
+    from online_gp_tpu.experiments.config import parse_cli_kwargs
+
+    out = run(**parse_cli_kwargs(sys.argv[1:]))
     print({k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()})
 
 

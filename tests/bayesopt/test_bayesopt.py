@@ -157,6 +157,33 @@ def test_bayesopt_qbatch_improves():
     assert out["best_per_step"][-1] >= out["best_per_step"][0]
 
 
+def test_bayesopt_resume_continues_campaign(tmp_path):
+    """resume_from warm-starts the loop from a saved surrogate: the
+    trajectory picks up where the checkpoint left off and the combined
+    run keeps the best-so-far monotone."""
+    jax.config.update("jax_platforms", "cpu")
+    from online_gp_tpu.bayesopt.loop import run_bayesopt
+
+    ckpt = str(tmp_path / "campaign")
+    first = run_bayesopt(function="Ackley", dim=2, acqf="ucb", num_steps=3,
+                         num_init=8, grid_size=8, fit_iters=10, seed=0,
+                         verbose=False, checkpoint_path=ckpt)
+    second = run_bayesopt(function="Ackley", dim=2, acqf="ucb", num_steps=3,
+                          num_init=8, grid_size=8, fit_iters=10, seed=0,
+                          verbose=False, resume_from=ckpt)
+    # resumed trajectory starts from the saved one
+    assert second["best_per_step"][: len(first["best_per_step"])] == first["best_per_step"]
+    assert len(second["best_per_step"]) == len(first["best_per_step"]) + 3
+    # best-so-far never regresses across the resume boundary
+    bps = second["best_per_step"]
+    assert all(b2 >= b1 - 1e-9 for b1, b2 in zip(bps, bps[1:]))
+
+    with pytest.raises(ValueError, match="dim"):
+        run_bayesopt(function="Ackley", dim=3, acqf="ucb", num_steps=1,
+                     num_init=4, grid_size=8, fit_iters=5, seed=0,
+                     verbose=False, resume_from=ckpt)
+
+
 def test_qmves_joint_sampler_vs_gumbel(wiski_posterior):
     """The joint max-value sampler prices cross-candidate covariance: on a
     candidate set of N COPIES of one point the true max-value distribution
