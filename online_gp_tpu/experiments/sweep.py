@@ -47,10 +47,12 @@ def run_sweep(num_trials: int, mode: str, overrides: List[str]) -> List[Dict]:
             return mesh_classification_sweep(num_trials, overrides)
         if name == "svgp_regression":
             return mesh_svgp_sweep(num_trials, overrides)
+        if name == "sgpr_regression":
+            return mesh_sgpr_sweep(num_trials, overrides)
         raise ValueError(
             f"mode=mesh supports wiski_gp_regression / wiski_gpd / "
-            f"svgp_regression (functional vmappable cores); got {name!r} — "
-            "use mode=seq for other models"
+            f"svgp_regression / sgpr_regression (functional vmappable "
+            f"cores); got {name!r} — use mode=seq for other models"
         )
 
     raise ValueError(f"unknown sweep mode {mode!r} (seq/mesh)")
@@ -648,6 +650,246 @@ def mesh_svgp_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
 
         fe, _ = stem.apply(carry["sp"], bn_state, ex, train=False)
         mean, var = svgp_predict(model, carry["p"], fe, scfg)
+        var = var + jnp.exp(carry["p"]["raw_noise"])
+        test_rmse = jnp.sqrt(jnp.mean((mean[:, None] - ey) ** 2))
+        test_nll = jnp.mean(gaussian_nll(mean[:, None], var[:, None], ey))
+        return metrics, test_rmse, test_nll
+
+    n_dev = len(jax.devices())
+    mesh_size = max(d for d in range(1, min(n_dev, num_trials) + 1) if num_trials % d == 0)
+    mesh = make_mesh(mesh_size)
+    keys = shard_leading(jax.random.split(jax.random.PRNGKey(cfg["seed"]), num_trials), mesh)
+    txs = shard_leading(jnp.asarray(train_x), mesh)
+    tys = shard_leading(jnp.asarray(train_y), mesh)
+    exs = shard_leading(jnp.asarray(test_x), mesh)
+    eys = shard_leading(jnp.asarray(test_y), mesh)
+
+    import time as _time
+
+    t0 = _time.time()
+    metrics, test_rmse, test_nll = jax.jit(jax.vmap(one_trial))(keys, txs, tys, exs, eys)
+    jax.block_until_ready(test_rmse)
+    step_time = (_time.time() - t0) / max(num_chunks * num_trials, 1)
+
+    results = []
+    freq = max(int(cfg["logging_freq"]), 1)
+    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    cum_rmse = np.cumsum(metrics["online_rmse"], axis=1)
+    cum_nll = np.cumsum(metrics["online_nll"], axis=1)
+    run_tag = f"mesh-{cfg['model']['name']}-{cfg['dataset']['name']}"
+    for t in range(num_trials):
+        logger = CSVLogger(cfg["log_dir"], f"{run_tag}-trial{t}")
+        logger.write_config(cfg)
+        logger.add_table("online_metrics")
+        log_rows = sorted(set(range(freq - 1, num_chunks, freq)) | {num_chunks - 1})
+        for c in log_rows:
+            is_last = c == num_chunks - 1
+            logger.log(
+                dict(
+                    stem_loss=float("nan"),
+                    gp_loss=float(metrics["gp_loss"][t, c]),
+                    batch_rmse=float("nan"),
+                    batch_nll=float("nan"),
+                    online_rmse=float(cum_rmse[t, c]),
+                    online_nll=float(cum_nll[t, c]),
+                    regret=float("nan"),
+                    test_rmse=float(test_rmse[t]) if is_last else float("nan"),
+                    test_nll=float(test_nll[t]) if is_last else float("nan"),
+                    noise=float(metrics["noise"][t, c]),
+                    step_time=step_time,
+                ),
+                step=(c + 1) * batch_size,
+                table_name="online_metrics",
+            )
+        logger.write_csv()
+        results.append(dict(trial=t, test_rmse=float(test_rmse[t]),
+                            test_nll=float(test_nll[t]), log_dir=logger.log_dir))
+    return results
+
+
+def mesh_sgpr_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
+    """``mode=mesh`` for streaming O-SGPR regression: ``num_trials``
+    independent trials as ONE vmapped+sharded jitted program.
+
+    Per-trial semantics mirror ``OnlineSGPRegression``
+    (``api/sgpr_regression.py``): collapsed-bound pretrain epochs on the
+    init batch, an initial absorb, then per chunk — prequential evaluate
+    -> (every ``rebase_every``-th chunk) ``num_update_steps`` bound-grad
+    steps THEN a rebasing absorb; other chunks exact-accumulate the
+    information summary with frozen hypers (zero projection leakage).
+    The hyper/rebase coupling runs as ``lax.cond`` branches inside the
+    scan. Single-program deltas: BatchNorm stats frozen after pretrain,
+    no replay padding, no z-resampling.
+    """
+    import copy as _copy
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from online_gp_tpu.experiments.config import parse_config
+    from online_gp_tpu.experiments.common import build_stem, load_dataset
+    from online_gp_tpu.kernels.base import make_kernel
+    from online_gp_tpu.likelihoods.gaussian import gaussian_nll
+    from online_gp_tpu.logging import CSVLogger
+    from online_gp_tpu.models.sgpr import (
+        SGPRModel,
+        sgpr_absorb,
+        sgpr_bound,
+        sgpr_predict,
+    )
+    from online_gp_tpu.api.sgpr_regression import _sgpr_optimizer
+    from online_gp_tpu.parallel import make_mesh, shard_leading
+
+    cfg = parse_config(overrides)
+    if cfg["model"]["name"] != "sgpr_regression" or cfg["dataset"]["type"] != "regression":
+        raise ValueError(
+            "mesh_sgpr_sweep runs the sgpr_regression core; got "
+            f"model={cfg['model']['name']!r} dataset type={cfg['dataset']['type']!r}"
+        )
+
+    per_trial = []
+    for t in range(num_trials):
+        ct = _copy.deepcopy(cfg)
+        ct["seed"] = t
+        per_trial.append(load_dataset(ct))
+    n_tr = min(d[0].shape[0] for d in per_trial)
+    n_te = min(d[2].shape[0] for d in per_trial)
+    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
+    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(n_tr, -1)[:, :1] for d in per_trial]).astype(np.float32)
+    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
+    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(n_te, -1)[:, :1] for d in per_trial]).astype(np.float32)
+
+    stem = build_stem(cfg)
+    model = SGPRModel(make_kernel("rbf"), jitter=float(cfg["model"].get("jitter", 1e-4)))
+
+    base_lr = cfg["dataset"]["base_lr"]
+    batch_size = cfg["batch_size"]
+    num_inducing = int(cfg["model"]["num_inducing"])
+    num_update_steps = int(cfg["model"].get("num_update_steps") or 1)
+    rebase_every = max(1, int(cfg["model"].get("rebase_every", 25)))
+    num_init = max(int(cfg["model"]["init_ratio"] * n_tr), 2)
+    n_stream = n_tr - num_init
+    if cfg.get("max_stream"):
+        n_stream = min(n_stream, int(cfg["max_stream"]))
+    num_chunks = n_stream // batch_size
+    if num_chunks == 0:
+        raise ValueError(
+            f"stream of {n_stream} points is shorter than batch_size={batch_size}: "
+            "nothing to sweep"
+        )
+    num_epochs = cfg["num_batch_epochs"] if cfg["pretrain"] else 0
+
+    # wrapper conventions: fit phase at reference per-group LRs, streaming
+    # phase at (lr, lr/10) for (hypers, z)
+    fit_opt = _sgpr_optimizer(1e-1, 1e-2)
+    fit_stem_opt = optax.adam(1e-2)
+    opt = _sgpr_optimizer(base_lr, base_lr / 10.0)
+    stem_opt = optax.adam(base_lr / 10.0)
+
+    def one_trial(key, tx, ty, ex, ey):
+        init_x, init_y = tx[:num_init], ty[:num_init, 0]
+        xs = tx[num_init : num_init + num_chunks * batch_size].reshape(num_chunks, batch_size, -1)
+        ys = ty[num_init : num_init + num_chunks * batch_size].reshape(num_chunks, batch_size)
+
+        k_stem, k_z = jax.random.split(key)
+        stem_params, bn0 = stem.init(k_stem)
+        z = jax.random.uniform(k_z, (num_inducing, stem.output_dim), minval=-1.0, maxval=1.0)
+        params = model.init_params(z, stem.output_dim)
+
+        def epoch_step(carry, _):
+            p, sp, bn, os_, sos = carry
+
+            def loss_fn(pp, spp):
+                feats, new_bn = stem.apply(spp, bn, init_x, train=True)
+                return -sgpr_bound(model, pp, None, feats, init_y, combine_terms=True), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(p, sp)
+            up, os_ = fit_opt.update(grads[0], os_, p)
+            p = optax.apply_updates(p, up)
+            if stem.has_params:
+                sup, sos = fit_stem_opt.update(grads[1], sos, sp)
+                sp = optax.apply_updates(sp, sup)
+            return (p, sp, new_bn, os_, sos), loss
+
+        carry = (params, stem_params, bn0, fit_opt.init(params), fit_stem_opt.init(stem_params))
+        if num_epochs:
+            carry, _ = jax.lax.scan(epoch_step, carry, None, length=num_epochs)
+        params, stem_params, bn_state, _, _ = carry
+
+        feats0, _ = stem.apply(stem_params, bn_state, init_x, train=False)
+        feats0 = jax.lax.stop_gradient(feats0)
+        params, old, moments = sgpr_absorb(model, params, None, None, feats0, init_y)
+
+        def chunk_step(carry, inp):
+            p, sp, old, moments = carry["p"], carry["sp"], carry["old"], carry["mom"]
+            os_, sos = carry["os"], carry["sos"]
+            i, x, y = inp
+            feats = jax.lax.stop_gradient(stem.apply(sp, bn_state, x, train=False)[0])
+
+            mean, var = sgpr_predict(model, p, moments, feats)
+            var = var + jnp.exp(p["raw_noise"])
+            o_rmse = jnp.sqrt(jnp.mean((mean[:, None] - y[:, None]) ** 2))
+            o_nll = jnp.mean(gaussian_nll(mean[:, None], var[:, None], y[:, None]))
+
+            do_hyper = jnp.logical_and(
+                (i + 1) % rebase_every == 0, num_update_steps > 0
+            )
+
+            def with_hyper(args):
+                p2, sp2, os2, sos2 = args
+
+                def one(carry2, _):
+                    p3, sp3, os3, sos3 = carry2
+
+                    def loss_fn(pp, spp):
+                        f, _ = stem.apply(spp, bn_state, x, train=False)
+                        logp, trace, _, _ = sgpr_bound(
+                            model, pp, old, f, y, combine_terms=False
+                        )
+                        return -(logp + trace)
+
+                    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(p3, sp3)
+                    up, os3 = opt.update(grads[0], os3, p3)
+                    p3 = optax.apply_updates(p3, up)
+                    if stem.has_params:
+                        sup, sos3 = stem_opt.update(grads[1], sos3, sp3)
+                        sp3 = optax.apply_updates(sp3, sup)
+                    return (p3, sp3, os3, sos3), loss
+
+                (p2, sp2, os2, sos2), losses = jax.lax.scan(
+                    one, (p2, sp2, os2, sos2), None, length=num_update_steps
+                )
+                return p2, sp2, os2, sos2, losses[-1]
+
+            def no_hyper(args):
+                p2, sp2, os2, sos2 = args
+                return p2, sp2, os2, sos2, jnp.asarray(jnp.nan, x.dtype)
+
+            p, sp, os_, sos, loss = jax.lax.cond(
+                do_hyper, with_hyper, no_hyper, (p, sp, os_, sos)
+            )
+
+            feats2 = jax.lax.stop_gradient(stem.apply(sp, bn_state, x, train=False)[0])
+            p, old, moments = jax.lax.cond(
+                do_hyper,
+                lambda a: sgpr_absorb(model, a[0], a[1], None, feats2, y, rebase=True),
+                lambda a: sgpr_absorb(model, a[0], a[1], None, feats2, y, rebase=False),
+                (p, old),
+            )
+
+            metrics = dict(gp_loss=loss, online_rmse=o_rmse, online_nll=o_nll,
+                           noise=jnp.exp(p["raw_noise"]))
+            return dict(p=p, sp=sp, old=old, mom=moments, os=os_, sos=sos), metrics
+
+        carry = dict(p=params, sp=stem_params, old=old, mom=moments,
+                     os=opt.init(params), sos=stem_opt.init(stem_params))
+        carry, metrics = jax.lax.scan(
+            chunk_step, carry, (jnp.arange(num_chunks), xs, ys)
+        )
+
+        fe, _ = stem.apply(carry["sp"], bn_state, ex, train=False)
+        mean, var = sgpr_predict(model, carry["p"], carry["mom"], fe)
         var = var + jnp.exp(carry["p"]["raw_noise"])
         test_rmse = jnp.sqrt(jnp.mean((mean[:, None] - ey) ** 2))
         test_nll = jnp.mean(gaussian_nll(mean[:, None], var[:, None], ey))

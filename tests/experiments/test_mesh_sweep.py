@@ -88,6 +88,45 @@ def test_mesh_sweep_classification(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_mesh_sweep_sgpr_regression(tmp_path):
+    """streaming O-SGPR trials vmapped over the mesh — hyper steps and
+    information rebasing coupled every rebase_every chunks via lax.cond
+    (VERDICT r2 item 8's SGPR arm)."""
+    results = run_sweep(
+        4,
+        "mesh",
+        [
+            "model=sgpr_regression",
+            "model.num_inducing=16",
+            "model.num_update_steps=2",
+            "model.rebase_every=3",
+            "dataset=friedman",
+            "dataset.input_dim=2",
+            "stem=eye",
+            "stem.input_dim=2",
+            "num_batch_epochs=10",
+            "max_stream=32",
+            "batch_size=4",
+            "logging_freq=1",
+            f"log_dir={tmp_path}",
+        ],
+    )
+    assert len(results) == 4
+    for r in results:
+        assert np.isfinite(r["test_rmse"]) and np.isfinite(r["test_nll"])
+        path = os.path.join(r["log_dir"], "online_metrics.csv")
+        assert os.path.exists(path)
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        # hyper steps fire only on rebase chunks -> gp_loss alternates
+        # between finite (rebased) and nan (exact-accumulate) rows
+        losses = [float(row["gp_loss"]) for row in rows]
+        assert any(np.isfinite(l) for l in losses)
+        assert any(np.isnan(l) for l in losses)
+    assert len({round(r["test_rmse"], 9) for r in results}) > 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
 def test_mesh_sweep_svgp_regression(tmp_path):
     """streaming O-SVGP trials vmapped over the mesh (VERDICT r2 item 8)."""
     results = run_sweep(
