@@ -4,6 +4,7 @@ from online_gp_tpu.parallel.mesh import (
     replicate,
     batched_trials_step,
     sharded_stream_blocked,
+    localgp_experts_step,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "batched_trials_step",
     "sharded_stream_blocked",
+    "localgp_experts_step",
 ]

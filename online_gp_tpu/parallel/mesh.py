@@ -160,3 +160,37 @@ def batched_trials_step(
         return params, opt_state, state, l
 
     return jax.vmap(one_trial)
+
+
+def localgp_experts_step(model, optimizer, lr_unused=None):
+    """Expert-parallel LocalGP step: joint-MLL hyper gradient + mixture
+    prediction with the EXPERT dimension sharded over the mesh.
+
+    The LocalGP state is (E, ...)-leading throughout
+    (``models/localgp.py::LocalGPState``), and every per-expert compute
+    (masked Cholesky, solves, cross-covariances) is already vmapped over
+    E — so sharding E with :func:`shard_leading` partitions the expert
+    fleet across chips. The only cross-expert communication is the
+    mixture reduction in ``localgp_predict`` (weight normalization + the
+    weighted moment sums over E) and the scalar loss sum — XLA lowers
+    both to one psum over the mesh axis. The reference's LocalGP
+    (``online_gp/models/local_gp.py``) runs experts as a Python list on
+    one device; this scales the expert count with the mesh.
+
+    Returns ``step(params, opt_state, state, xt) -> (params, opt_state,
+    loss, mean, var)`` — jit it with a sharded ``state`` (params/xt
+    replicated).
+    """
+    from online_gp_tpu.models.localgp import localgp_joint_mll, localgp_predict
+
+    def step(params, opt_state, state, xt):
+        def loss_fn(p):
+            return -localgp_joint_mll(model, p, state)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        mean, var, _ = localgp_predict(model, params, state, xt)
+        return params, opt_state, loss, mean, var
+
+    return step

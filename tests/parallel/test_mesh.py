@@ -156,3 +156,53 @@ def test_sharded_stream_blocked_matches_single_device():
     assert "tp" in str(L_sh.sharding) or n_dev == 1
     np.testing.assert_allclose(np.asarray(L_sh), np.asarray(L_ref), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(B_sh), np.asarray(B_ref), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_localgp_experts_sharded_matches_replicated():
+    """Expert-parallel LocalGP: sharding the expert dim over the mesh
+    gives the same joint-MLL step and mixture posterior as running
+    replicated on one device (the only cross-expert communication is the
+    mixture reduction, lowered to a psum)."""
+    import optax
+
+    from online_gp_tpu.models.localgp import LocalGPModel, localgp_init
+    from online_gp_tpu.parallel import (
+        localgp_experts_step,
+        make_mesh,
+        replicate,
+        shard_leading,
+    )
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev)
+    E = n_dev  # one expert (at least) per device
+    model = LocalGPModel(RBFKernel(), max_data_per_model=8, max_experts=E)
+    key = jax.random.PRNGKey(0)
+    # enough points that every expert spawns at init (ceil(n/cap) == E)
+    x = jax.random.uniform(key, (8 * E, 2), minval=-1, maxval=1)
+    y = jnp.sin(3 * x[:, 0]) * jnp.cos(2 * x[:, 1])
+    state = localgp_init(model, np.asarray(x), np.asarray(y))
+    assert int(np.asarray(state.active).sum()) == E
+
+    params = model.init_params(2)
+    opt = optax.adam(1e-2)
+    xt = jax.random.uniform(jax.random.PRNGKey(1), (16, 2), minval=-1, maxval=1)
+    step = jax.jit(localgp_experts_step(model, opt))
+
+    # replicated single-program run (ground truth)
+    p_r, _, loss_r, mean_r, var_r = step(params, opt.init(params), state, xt)
+
+    # expert-sharded run
+    state_sh = shard_leading(state, mesh)
+    params_rep = replicate(params, mesh)
+    xt_rep = replicate(xt, mesh)
+    with mesh:
+        p_s, _, loss_s, mean_s, var_s = step(params_rep, opt.init(params_rep),
+                                             state_sh, xt_rep)
+    assert len({d.id for d in state_sh.x.devices()}) == n_dev
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_r), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
