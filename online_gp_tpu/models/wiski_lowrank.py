@@ -296,3 +296,79 @@ def wiski_lowrank_predict(
         if s2 is not None:
             var = var * s2
         return mean, jnp.maximum(var, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# batched (multi-output) variants
+# ---------------------------------------------------------------------------
+#
+# The single-output core above is a set of pure functions, so multi-output
+# (e.g. a Dirichlet classifier's per-class regressions at grids past the
+# dense O(m^2) regime) is plain jax.vmap over a leading output axis:
+# per-output kernel hypers + second noise, per-output caches, SHARED
+# inputs. This closes the dense-vs-lowrank capability asymmetry at the
+# model layer (the dense WiskiModel is natively batched over outputs;
+# reference ``batched_fixed_noise_online_gp.py`` likewise batches its
+# lazies).
+#
+# Recipe (same as the L5 wrapper, ``api/lowrank_regression.py``): pass
+# UNIT fixed noise and let the learnable sigma^2 carry the observation
+# scale, keep ``rank`` at or above the data absorbed per compression
+# cycle, and fit hypers at moderate rates — the rank-k root makes the
+# MLL an approximation that hot optimizers can exploit into degenerate
+# hypers (the reference's Lanczos ``inv_quad_logdet`` regime shares this
+# property).
+
+
+def lowrank_init_params_batched(
+    model: WiskiLowRankModel, num_dims: int, num_outputs: int,
+    dtype=jnp.float32, **kw,
+) -> Dict:
+    """Per-output kernel hypers ((B, ...) leaves) + (B,) second noise."""
+    params = {"kernel": model.kernel.init_params(num_dims, (num_outputs,), dtype=dtype, **kw)}
+    if model.learn_additional_noise:
+        params["raw_second_noise"] = jnp.zeros((num_outputs,), dtype)
+    return params
+
+
+def wiski_lowrank_init_b(
+    model: WiskiLowRankModel, x: jnp.ndarray, y: jnp.ndarray,
+    noise: jnp.ndarray, key=None, chunk: int = 4096,
+) -> WiskiLowRankState:
+    """Batched init: shared x (n, d); y/noise (n, B). State leaves gain a
+    leading B dim."""
+    B = y.shape[-1]
+    key = jax.random.PRNGKey(0) if key is None else key
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda yy, nn, kk: wiski_lowrank_init(model, x, yy, nn, key=kk, chunk=chunk)
+    )(y.T, noise.T, keys)
+
+
+def wiski_lowrank_condition_b(
+    model: WiskiLowRankModel, state: WiskiLowRankState, x: jnp.ndarray,
+    y: jnp.ndarray, noise: jnp.ndarray,
+) -> WiskiLowRankState:
+    """Batched rank-q conditioning: shared x (q, d); y/noise (q, B)."""
+    return jax.vmap(
+        lambda s, yy, nn: wiski_lowrank_condition(model, s, x, yy, nn)
+    )(state, y.T, noise.T)
+
+
+def wiski_lowrank_mll_b(
+    model: WiskiLowRankModel, params: Dict, state: WiskiLowRankState,
+    cfg: SolverConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """(B,) per-output MLLs — callers sum, like dense ``wiski_mll``."""
+    return jax.vmap(lambda p, s: wiski_lowrank_mll(model, p, s, cfg))(params, state)
+
+
+def wiski_lowrank_predict_b(
+    model: WiskiLowRankModel, params: Dict, state: WiskiLowRankState,
+    x: jnp.ndarray, cfg: SolverConfig = DEFAULT_CONFIG,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(B, n) posterior means/vars at shared query points."""
+    if cfg.skip_posterior_variances:
+        mean = jax.vmap(lambda p, s: wiski_lowrank_predict(model, p, s, x, cfg)[0])(params, state)
+        return mean, None
+    return jax.vmap(lambda p, s: wiski_lowrank_predict(model, p, s, x, cfg))(params, state)
