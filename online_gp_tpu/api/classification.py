@@ -37,6 +37,47 @@ from online_gp_tpu.utils.buffers import ReplayBuffer
 
 
 class OnlineSKIClassifier:
+    """Dirichlet-transform SKI classifier.
+
+    Like the flagship regression wrapper, covers both WISKI regimes
+    behind one constructor: the dense O(m^2) core up to the dense grid
+    limit, and the rank-capped structured core
+    (:class:`~online_gp_tpu.api.lowrank_classification.OnlineSKILowRankClassifier`)
+    above it or when ``low_rank=`` is passed explicitly."""
+
+    def __new__(
+        cls,
+        stem: Stem = None,
+        init_x=None,
+        init_y=None,
+        alpha_eps: float = 0.01,
+        lr: float = 0.01,
+        grid_size: int = 30,
+        grid_bound: float = 1.0,
+        num_classes: int = 2,
+        kernel: str | Kernel = "rbf",
+        cfg: SolverConfig = DEFAULT_CONFIG,
+        seed: int = 0,
+        low_rank=None,
+        **unused,
+    ):
+        if cls is OnlineSKIClassifier and stem is not None:
+            from online_gp_tpu.api.regression import DENSE_GRID_LIMIT
+
+            m = grid_size ** stem.output_dim
+            if low_rank is not None or m > DENSE_GRID_LIMIT:
+                from online_gp_tpu.api.lowrank_classification import (
+                    OnlineSKILowRankClassifier,
+                )
+
+                return OnlineSKILowRankClassifier(
+                    stem, init_x, init_y, alpha_eps=alpha_eps, lr=lr,
+                    grid_size=grid_size, grid_bound=grid_bound,
+                    num_classes=num_classes, rank=low_rank or 512,
+                    kernel=kernel, cfg=cfg, seed=seed, **unused,
+                )
+        return super().__new__(cls)
+
     def __init__(
         self,
         stem: Stem,
@@ -50,6 +91,7 @@ class OnlineSKIClassifier:
         kernel: str | Kernel = "rbf",
         cfg: SolverConfig = DEFAULT_CONFIG,
         seed: int = 0,
+        low_rank=None,
         **unused,
     ):
         init_x = jnp.asarray(init_x)

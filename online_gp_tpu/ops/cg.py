@@ -98,7 +98,17 @@ def lanczos(
         coeffs = (Q @ w) * mask
         w = w - Q.T @ coeffs
         b = jnp.linalg.norm(w)
-        q_next = w / jnp.maximum(b, 1e-30)
+        # breakdown guard: once the Krylov space is exhausted (k exceeds
+        # the operator's rank — e.g. a rank-n A = W D^{-1} W^T asked for a
+        # rank-k > n root), the residual is pure rounding noise; dividing
+        # by it produces garbage vectors whose alphas explode into eigh
+        # NaNs. Zero-truncate instead: the remaining Lanczos vectors, this
+        # beta, and all later (alpha, beta) stay 0, so T's trailing block
+        # contributes zero eigenvalues — a clean rank truncation.
+        eps = jnp.finfo(v0.dtype).eps
+        ok = b > 100.0 * eps * (jnp.abs(a) + jnp.where(i > 0, betas[i - 1], 0.0) + 1.0)
+        b = jnp.where(ok, b, 0.0)
+        q_next = jnp.where(ok, w / jnp.maximum(b, 1e-30), jnp.zeros_like(w))
         Q = jax.lax.cond(
             i + 1 < k, lambda Q: Q.at[i + 1].set(q_next), lambda Q: Q, Q
         )

@@ -58,3 +58,24 @@ def test_slq_logdet():
     est = float(slq_logdet(lambda v: A @ v, m, jax.random.PRNGKey(10), num_probes=30, num_iters=40, dtype=jnp.float64))
     exact = float(jnp.linalg.slogdet(A)[1])
     assert abs(est - exact) / abs(exact) < 0.05
+
+
+def test_lanczos_root_past_operator_rank_truncates_cleanly():
+    """Asking for a rank-k root of a rank-r < k operator must zero-truncate
+    at the Krylov breakdown instead of producing NaNs (hit by low-rank
+    WISKI inits with rank > n, e.g. the large-grid classifier)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from online_gp_tpu.ops.cg import lanczos_root
+
+    m, r, k = 60, 12, 40  # k well past rank(A) = r
+    key = jax.random.PRNGKey(0)
+    V = jax.random.normal(key, (m, r))
+    A = V @ V.T  # PSD, rank r
+
+    R = lanczos_root(lambda v: A @ v, jax.random.normal(jax.random.PRNGKey(1), (m,)), k)
+    assert bool(jnp.isfinite(R).all()), "breakdown produced non-finite root"
+    # with full reorthogonalization the rank-r operator is recovered exactly
+    np.testing.assert_allclose(np.asarray(R @ R.T), np.asarray(A), rtol=1e-4, atol=1e-3)
