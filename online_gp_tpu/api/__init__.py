@@ -15,6 +15,7 @@ from online_gp_tpu.api.sgpr_regression import OnlineSGPRegression
 from online_gp_tpu.api.exact import OnlineExactRegression, OnlineExactClassifier
 from online_gp_tpu.api.localgp import OnlineLocalGPRegression
 from online_gp_tpu.api.lowrank_regression import OnlineSKILowRankRegression
+from online_gp_tpu.api.lowrank_classification import OnlineSKILowRankClassifier
 
 __all__ = [
     "IdentityStem",
@@ -30,4 +31,5 @@ __all__ = [
     "OnlineExactClassifier",
     "OnlineLocalGPRegression",
     "OnlineSKILowRankRegression",
+    "OnlineSKILowRankClassifier",
 ]
