@@ -47,12 +47,15 @@ def run_sweep(num_trials: int, mode: str, overrides: List[str]) -> List[Dict]:
             return mesh_classification_sweep(num_trials, overrides)
         if name == "svgp_regression":
             return mesh_svgp_sweep(num_trials, overrides)
+        if name == "svgp_classification":
+            return mesh_svgp_classification_sweep(num_trials, overrides)
         if name == "sgpr_regression":
             return mesh_sgpr_sweep(num_trials, overrides)
         raise ValueError(
             f"mode=mesh supports wiski_gp_regression / wiski_gpd / "
-            f"svgp_regression / sgpr_regression (functional vmappable "
-            f"cores); got {name!r} — use mode=seq for other models"
+            f"svgp_regression / svgp_classification / sgpr_regression "
+            f"(functional vmappable cores); got {name!r} — use mode=seq "
+            "for other models"
         )
 
     raise ValueError(f"unknown sweep mode {mode!r} (seq/mesh)")
@@ -704,6 +707,202 @@ def mesh_svgp_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
         logger.write_csv()
         results.append(dict(trial=t, test_rmse=float(test_rmse[t]),
                             test_nll=float(test_nll[t]), log_dir=logger.log_dir))
+    return results
+
+
+def mesh_svgp_classification_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
+    """``mode=mesh`` for the streaming probit O-SVGP classifier: trials
+    vmapped+sharded as one program, mirroring ``OnlineSVGPClassifier``
+    (``api/svgp.py``): bernoulli-probit ELBO (32-node GH quadrature),
+    per-chunk snapshot + streaming-corrected update steps, p >= 0.5
+    decisions. Labels enter the ELBO in {0, 1} (the likelihood maps them
+    to ±1 internally)."""
+    import copy as _copy
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from online_gp_tpu.experiments.config import parse_config
+    from online_gp_tpu.experiments.common import build_stem, load_dataset, solver_config
+    from online_gp_tpu.kernels.base import make_kernel
+    from online_gp_tpu.likelihoods.bernoulli import bernoulli_probit_predictive
+    from online_gp_tpu.logging import CSVLogger
+    from online_gp_tpu.models.svgp import (
+        SVGPModel,
+        svgp_elbo,
+        svgp_init_variational_to_prior,
+        svgp_predict,
+        svgp_snapshot,
+        svgp_streaming_correction,
+    )
+    from online_gp_tpu.api.svgp import _make_optimizer
+    from online_gp_tpu.parallel import make_mesh, shard_leading
+
+    cfg = parse_config(overrides)
+    if cfg["model"]["name"] != "svgp_classification" or cfg["dataset"]["type"] != "classification":
+        raise ValueError(
+            "mesh_svgp_classification_sweep runs the svgp_classification core; got "
+            f"model={cfg['model']['name']!r} dataset type={cfg['dataset']['type']!r}"
+        )
+
+    per_trial = []
+    for t in range(num_trials):
+        ct = _copy.deepcopy(cfg)
+        ct["seed"] = t
+        per_trial.append(load_dataset(ct))
+    n_tr = min(d[0].shape[0] for d in per_trial)
+    n_te = min(d[2].shape[0] for d in per_trial)
+    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
+    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(-1) for d in per_trial]).astype(np.float32)
+    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
+    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(-1) for d in per_trial]).astype(np.int32)
+
+    stem = build_stem(cfg)
+    model = SVGPModel(make_kernel("rbf"), likelihood="bernoulli")
+    scfg = solver_config(cfg)
+
+    base_lr = cfg["dataset"]["base_lr"]
+    batch_size = cfg["batch_size"]
+    num_inducing = int(cfg["model"]["num_inducing"])
+    prior_beta = float(cfg["model"]["prior_beta"])
+    online_beta = float(cfg["model"]["online_beta"])
+    num_update_steps = int(cfg["model"]["num_update_steps"] or batch_size)
+    streaming = bool(cfg["model"].get("streaming", True))
+    num_init = max(int(cfg["model"]["init_ratio"] * n_tr), 2)
+    n_stream = n_tr - num_init
+    if cfg.get("max_stream"):
+        n_stream = min(n_stream, int(cfg["max_stream"]))
+    num_chunks = n_stream // batch_size
+    if num_chunks == 0:
+        raise ValueError(
+            f"stream of {n_stream} points is shorter than batch_size={batch_size}: "
+            "nothing to sweep"
+        )
+    num_epochs = cfg["num_batch_epochs"] if cfg["pretrain"] else 0
+
+    opt = _make_optimizer(base_lr)
+    stem_opt = optax.adam(base_lr / 10.0)
+
+    def one_trial(key, tx, ty, ex, ey):
+        init_x, init_y = tx[:num_init], ty[:num_init]
+        xs = tx[num_init : num_init + num_chunks * batch_size].reshape(num_chunks, batch_size, -1)
+        ys = ty[num_init : num_init + num_chunks * batch_size].reshape(num_chunks, batch_size)
+
+        k_stem, k_z = jax.random.split(key)
+        stem_params, bn0 = stem.init(k_stem)
+        z = jax.random.uniform(k_z, (num_inducing, stem.output_dim), minval=-1.0, maxval=1.0)
+        params = svgp_init_variational_to_prior(model, model.init_params(z, stem.output_dim))
+
+        def epoch_step(carry, _):
+            p, sp, bn, os_, sos = carry
+
+            def loss_fn(pp, spp):
+                feats, new_bn = stem.apply(spp, bn, init_x, train=True)
+                return -svgp_elbo(model, pp, feats, init_y, num_init, 1.0, scfg), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(p, sp)
+            up, os_ = opt.update(grads[0], os_, p)
+            p = optax.apply_updates(p, up)
+            if stem.has_params:
+                sup, sos = stem_opt.update(grads[1], sos, sp)
+                sp = optax.apply_updates(sp, sup)
+            return (p, sp, new_bn, os_, sos), loss
+
+        carry = (params, stem_params, bn0, opt.init(params), stem_opt.init(stem_params))
+        if num_epochs:
+            carry, _ = jax.lax.scan(epoch_step, carry, None, length=num_epochs)
+        params, stem_params, bn_state, opt_state, stem_os = carry
+
+        def chunk_step(carry, inp):
+            p, sp, os_, sos = carry["p"], carry["sp"], carry["os"], carry["sos"]
+            x, y = inp
+            feats = jax.lax.stop_gradient(stem.apply(sp, bn_state, x, train=False)[0])
+
+            mean, var = svgp_predict(model, p, feats, scfg)
+            prob = bernoulli_probit_predictive(mean, var)
+            acc = jnp.mean(((prob >= 0.5).astype(jnp.float32) == y).astype(jnp.float32))
+
+            old = svgp_snapshot(model, p)
+
+            def update_once(carry2, _):
+                p2, sp2, os2, sos2 = carry2
+
+                def loss_fn(pp, spp):
+                    f, _ = stem.apply(spp, bn_state, x, train=False)
+                    loss = -svgp_elbo(model, pp, f, y, batch_size, prior_beta, scfg)
+                    if streaming:
+                        loss = loss + svgp_streaming_correction(
+                            model, pp, old, batch_size, online_beta, scfg
+                        )
+                    return loss
+
+                loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(p2, sp2)
+                up, os2 = opt.update(grads[0], os2, p2)
+                p2 = optax.apply_updates(p2, up)
+                if stem.has_params:
+                    sup, sos2 = stem_opt.update(grads[1], sos2, sp2)
+                    sp2 = optax.apply_updates(sp2, sup)
+                return (p2, sp2, os2, sos2), loss
+
+            (p, sp, os_, sos), losses = jax.lax.scan(
+                update_once, (p, sp, os_, sos), None, length=num_update_steps
+            )
+            metrics = dict(gp_loss=losses[-1], online_acc=acc)
+            return dict(p=p, sp=sp, os=os_, sos=sos), metrics
+
+        carry = dict(p=params, sp=stem_params, os=opt_state, sos=stem_os)
+        carry, metrics = jax.lax.scan(chunk_step, carry, (xs, ys))
+
+        fe, _ = stem.apply(carry["sp"], bn_state, ex, train=False)
+        mean, var = svgp_predict(model, carry["p"], fe, scfg)
+        pred = (bernoulli_probit_predictive(mean, var) >= 0.5).astype(jnp.int32)
+        test_acc = jnp.mean((pred == ey).astype(jnp.float32))
+        return metrics, test_acc
+
+    n_dev = len(jax.devices())
+    mesh_size = max(d for d in range(1, min(n_dev, num_trials) + 1) if num_trials % d == 0)
+    mesh = make_mesh(mesh_size)
+    keys = shard_leading(jax.random.split(jax.random.PRNGKey(cfg["seed"]), num_trials), mesh)
+    txs = shard_leading(jnp.asarray(train_x), mesh)
+    tys = shard_leading(jnp.asarray(train_y), mesh)
+    exs = shard_leading(jnp.asarray(test_x), mesh)
+    eys = shard_leading(jnp.asarray(test_y), mesh)
+
+    import time as _time
+
+    t0 = _time.time()
+    metrics, test_acc = jax.jit(jax.vmap(one_trial))(keys, txs, tys, exs, eys)
+    jax.block_until_ready(test_acc)
+    step_time = (_time.time() - t0) / max(num_chunks * num_trials, 1)
+
+    results = []
+    freq = max(int(cfg["logging_freq"]), 1)
+    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    cum_acc = np.cumsum(metrics["online_acc"], axis=1) / np.arange(1, num_chunks + 1)
+    run_tag = f"mesh-{cfg['model']['name']}-{cfg['dataset']['name']}"
+    for t in range(num_trials):
+        logger = CSVLogger(cfg["log_dir"], f"{run_tag}-trial{t}")
+        logger.write_config(cfg)
+        logger.add_table("online_metrics")
+        log_rows = sorted(set(range(freq - 1, num_chunks, freq)) | {num_chunks - 1})
+        for c in log_rows:
+            is_last = c == num_chunks - 1
+            logger.log(
+                dict(
+                    stem_loss=float("nan"),
+                    gp_loss=float(metrics["gp_loss"][t, c]),
+                    online_acc=float(cum_acc[t, c]),
+                    batch_acc=float("nan"),
+                    regret=float("nan"),
+                    test_acc=float(test_acc[t]) if is_last else float("nan"),
+                    step_time=step_time,
+                ),
+                step=(c + 1) * batch_size,
+                table_name="online_metrics",
+            )
+        logger.write_csv()
+        results.append(dict(trial=t, test_acc=float(test_acc[t]), log_dir=logger.log_dir))
     return results
 
 

@@ -88,6 +88,38 @@ def test_mesh_sweep_classification(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+def test_mesh_sweep_svgp_classification(tmp_path):
+    """probit O-SVGP classification trials vmapped over the mesh."""
+    results = run_sweep(
+        4,
+        "mesh",
+        [
+            "model=svgp_classification",
+            "model.num_inducing=16",
+            "model.num_update_steps=2",
+            "dataset=banana",
+            "stem=eye",
+            "num_batch_epochs=20",
+            "max_stream=32",
+            "batch_size=4",
+            "logging_freq=2",
+            f"log_dir={tmp_path}",
+        ],
+    )
+    assert len(results) == 4
+    for r in results:
+        assert 0.0 <= r["test_acc"] <= 1.0
+        path = os.path.join(r["log_dir"], "online_metrics.csv")
+        assert os.path.exists(path)
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        for col in ("gp_loss", "online_acc", "test_acc", "step_time"):
+            assert col in rows[0], col
+    # banana with 20 ELBO pretrain epochs beats chance on at least one trial
+    assert max(r["test_acc"] for r in results) >= 0.6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
 def test_mesh_sweep_sgpr_regression(tmp_path):
     """streaming O-SGPR trials vmapped over the mesh — hyper steps and
     information rebasing coupled every rebase_every chunks via lax.cond
