@@ -27,6 +27,7 @@ def optimize_acqf(
     maxiter: int = 200,
     lr: float = 0.05,
     key=None,
+    method: str = "adam",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Maximize a q-batch acquisition over box bounds.
 
@@ -34,6 +35,11 @@ def optimize_acqf(
       acqf: (q, d) -> scalar acquisition value (maximized).
       bounds: (d, 2).
       q: candidates per batch.
+      method: per-restart ascent — ``"adam"`` (default) or ``"lbfgs"``
+        (optax L-BFGS + zoom linesearch in the sigmoid-reparametrized
+        space; botorch's ``optimize_acqf`` likewise runs scipy L-BFGS-B
+        on its restarts). L-BFGS converges in far fewer steps on smooth
+        acquisitions; Adam is more robust on noisy MC acquisitions.
 
     Returns:
       best candidates (q, d), best acquisition value.
@@ -63,27 +69,42 @@ def optimize_acqf(
     top = jnp.argsort(-raw_vals)[:num_restarts]
     starts = jnp.log(raw[top] / (1.0 - raw[top]))  # logit init
 
-    opt = optax.adam(lr)
+    if method not in ("adam", "lbfgs"):
+        raise ValueError(f"unknown method {method!r} (adam/lbfgs)")
+    opt = optax.adam(lr) if method == "adam" else optax.lbfgs()
 
     # pin the carry scalar dtype to the acquisition's output dtype (under
     # x64 mode python -inf literals would otherwise promote and break the
     # while_loop carry typing)
     val_dtype = jax.eval_shape(lambda t: acqf(to_x(t)), starts[0]).dtype
     neg_inf = jnp.asarray(-jnp.inf, val_dtype)
+    # L-BFGS minimizes; its linesearch caches (value, grad) in the params'
+    # dtype — keep the internal loss in that dtype (see make_fit_fn)
+    t_dtype = starts.dtype
 
     def restart_opt(t0):
+        def loss_fn(tt):
+            return (-acqf(to_x(tt))).astype(t_dtype)
+
         def cond(carry):
             t, os_, it, last, cur, best_t, best_val = carry
             return jnp.logical_and(it < maxiter, jnp.logical_or(it < 5, cur > last + 1e-9))
 
         def body(carry):
             t, os_, it, last, cur, best_t, best_val = carry
-            val, g = jax.value_and_grad(lambda tt: acqf(to_x(tt)))(t)
-            val = val.astype(val_dtype)
+            if method == "lbfgs":
+                loss, g = optax.value_and_grad_from_state(loss_fn)(t, state=os_)
+                val = (-loss).astype(val_dtype)
+            else:
+                val, g_up = jax.value_and_grad(lambda tt: acqf(to_x(tt)))(t)
+                val = val.astype(val_dtype)
             better = val > best_val
             best_t = jax.tree.map(lambda a, b: jnp.where(better, a, b), t, best_t)
             best_val = jnp.where(better, val, best_val)
-            up, os_ = opt.update(jax.tree.map(jnp.negative, g), os_)
+            if method == "lbfgs":
+                up, os_ = opt.update(g, os_, t, value=loss, grad=g, value_fn=loss_fn)
+            else:
+                up, os_ = opt.update(jax.tree.map(jnp.negative, g_up), os_)
             t = optax.apply_updates(t, up)
             return (t, os_, it + 1, cur, val, best_t, best_val)
 

@@ -308,3 +308,20 @@ def test_qmves_qbatch_discounts_correlated_candidates(wiski_posterior):
     g = jax.grad(lambda X: acq.q_max_value_entropy(
         model, params, state, X, cand, key, noise_value=1e-3))(jnp.concatenate([xa, xb]))
     assert jnp.all(jnp.isfinite(g)) and float(jnp.abs(g).max()) > 0
+
+
+def test_optimize_acqf_lbfgs_method():
+    """L-BFGS restarts (botorch's optimizer class for optimize_acqf) hit
+    the concave optimum at least as precisely as Adam, in fewer steps."""
+    target = jnp.asarray([0.3, -0.2])
+    acqf = lambda X: -jnp.sum((X - target) ** 2)
+    bounds = jnp.asarray([[-1.0, 1.0], [-1.0, 1.0]])
+    x_l, v_l = optimize_acqf(acqf, bounds, q=1, num_restarts=4, raw_samples=16,
+                             maxiter=60, method="lbfgs")
+    np.testing.assert_allclose(np.asarray(x_l[0]), np.asarray(target), atol=0.02)
+    x_a, v_a = optimize_acqf(acqf, bounds, q=1, num_restarts=4, raw_samples=16,
+                             maxiter=60, lr=0.1, method="adam")
+    assert float(v_l) >= float(v_a) - 1e-6
+
+    with pytest.raises(ValueError, match="unknown method"):
+        optimize_acqf(acqf, bounds, q=1, method="sgd")
