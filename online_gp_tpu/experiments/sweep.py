@@ -61,6 +61,44 @@ def run_sweep(num_trials: int, mode: str, overrides: List[str]) -> List[Dict]:
     raise ValueError(f"unknown sweep mode {mode!r} (seq/mesh)")
 
 
+
+def _stack_trial_data(cfg, num_trials: int, y_mode: str):
+    """Load ``num_trials`` per-seed datasets and stack along a leading T
+    dim (host side), truncating to the shortest trial. ``y_mode`` picks
+    the target layout: ``"multi"`` (n, B) f32, ``"single"`` (n, 1) f32,
+    ``"labels_i"`` flat int32, ``"labels_f"`` flat f32."""
+    import copy as _copy
+
+    from online_gp_tpu.experiments.common import load_dataset
+
+    per_trial = []
+    for t in range(num_trials):
+        ct = _copy.deepcopy(cfg)
+        ct["seed"] = t
+        per_trial.append(load_dataset(ct))
+    n_tr = min(d[0].shape[0] for d in per_trial)
+    n_te = min(d[2].shape[0] for d in per_trial)
+
+    def ys(col, n):
+        if y_mode == "multi":
+            return [np.asarray(d[col][:n]).reshape(n, -1) for d in per_trial], np.float32
+        if y_mode == "single":
+            return [np.asarray(d[col][:n]).reshape(n, -1)[:, :1] for d in per_trial], np.float32
+        if y_mode == "labels_i":
+            return [np.asarray(d[col][:n]).reshape(-1) for d in per_trial], np.int32
+        if y_mode == "labels_f":
+            return [np.asarray(d[col][:n]).reshape(-1) for d in per_trial], np.float32
+        raise ValueError(y_mode)
+
+    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
+    rows, dt = ys(1, n_tr)
+    train_y = np.stack(rows).astype(dt)
+    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
+    rows, dt = ys(3, n_te)
+    test_y = np.stack(rows).astype(dt)
+    return train_x, train_y, test_x, test_y
+
+
 def mesh_regression_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
     """Run ``num_trials`` independent streaming-regression trials of the
     WISKI flagship as ONE jitted program, vmapped over a leading trial dim
@@ -78,14 +116,12 @@ def mesh_regression_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
     running stats freeze after the in-program pretrain epochs instead of
     refreshing from a replay buffer each update.
     """
-    import copy as _copy
-
     import jax
     import jax.numpy as jnp
     import optax
 
     from online_gp_tpu.experiments.config import parse_config
-    from online_gp_tpu.experiments.common import build_stem, load_dataset
+    from online_gp_tpu.experiments.common import build_stem
     from online_gp_tpu.kernels.base import make_kernel
     from online_gp_tpu.likelihoods.gaussian import gaussian_nll
     from online_gp_tpu.logging import CSVLogger
@@ -110,17 +146,8 @@ def mesh_regression_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
         )
 
     # ---- per-trial data, stacked along a leading T dim (host side) ----
-    per_trial = []
-    for t in range(num_trials):
-        ct = _copy.deepcopy(cfg)
-        ct["seed"] = t
-        per_trial.append(load_dataset(ct))
-    n_tr = min(d[0].shape[0] for d in per_trial)
-    n_te = min(d[2].shape[0] for d in per_trial)
-    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
-    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(n_tr, -1) for d in per_trial]).astype(np.float32)
-    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
-    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(n_te, -1) for d in per_trial]).astype(np.float32)
+    train_x, train_y, test_x, test_y = _stack_trial_data(cfg, num_trials, "multi")
+    n_tr = train_x.shape[1]
 
     # ---- static model pieces (shared spec; per-trial params) ----
     stem = build_stem(cfg)
@@ -306,14 +333,12 @@ def mesh_classification_sweep(num_trials: int, overrides: List[str]) -> List[Dic
     Same single-program deltas as the regression core: no batch-model
     regret arm, BatchNorm stats frozen after pretrain.
     """
-    import copy as _copy
-
     import jax
     import jax.numpy as jnp
     import optax
 
     from online_gp_tpu.experiments.config import parse_config
-    from online_gp_tpu.experiments.common import build_stem, load_dataset, solver_config
+    from online_gp_tpu.experiments.common import build_stem, solver_config
     from online_gp_tpu.kernels.base import make_kernel
     from online_gp_tpu.likelihoods.dirichlet import dirichlet_transform
     from online_gp_tpu.logging import CSVLogger
@@ -335,17 +360,8 @@ def mesh_classification_sweep(num_trials: int, overrides: List[str]) -> List[Dic
             f"model={cfg['model']['name']!r} dataset type={cfg['dataset']['type']!r}"
         )
 
-    per_trial = []
-    for t in range(num_trials):
-        ct = _copy.deepcopy(cfg)
-        ct["seed"] = t
-        per_trial.append(load_dataset(ct))
-    n_tr = min(d[0].shape[0] for d in per_trial)
-    n_te = min(d[2].shape[0] for d in per_trial)
-    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
-    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(-1) for d in per_trial]).astype(np.int32)
-    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
-    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(-1) for d in per_trial]).astype(np.int32)
+    train_x, train_y, test_x, test_y = _stack_trial_data(cfg, num_trials, "labels_i")
+    n_tr = train_x.shape[1]
 
     stem = build_stem(cfg)
     C = int(cfg["dataset"].get("num_classes", 2))
@@ -511,14 +527,12 @@ def mesh_svgp_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
     pretrain, no 1024-point replay padding for lone-point updates (the
     stream is chunked instead).
     """
-    import copy as _copy
-
     import jax
     import jax.numpy as jnp
     import optax
 
     from online_gp_tpu.experiments.config import parse_config
-    from online_gp_tpu.experiments.common import build_stem, load_dataset, solver_config
+    from online_gp_tpu.experiments.common import build_stem, solver_config
     from online_gp_tpu.kernels.base import make_kernel
     from online_gp_tpu.likelihoods.gaussian import gaussian_nll
     from online_gp_tpu.logging import CSVLogger
@@ -540,17 +554,8 @@ def mesh_svgp_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
             f"model={cfg['model']['name']!r} dataset type={cfg['dataset']['type']!r}"
         )
 
-    per_trial = []
-    for t in range(num_trials):
-        ct = _copy.deepcopy(cfg)
-        ct["seed"] = t
-        per_trial.append(load_dataset(ct))
-    n_tr = min(d[0].shape[0] for d in per_trial)
-    n_te = min(d[2].shape[0] for d in per_trial)
-    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
-    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(n_tr, -1)[:, :1] for d in per_trial]).astype(np.float32)
-    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
-    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(n_te, -1)[:, :1] for d in per_trial]).astype(np.float32)
+    train_x, train_y, test_x, test_y = _stack_trial_data(cfg, num_trials, "single")
+    n_tr = train_x.shape[1]
 
     stem = build_stem(cfg)
     model = SVGPModel(make_kernel("rbf"), likelihood="gaussian")
@@ -717,14 +722,12 @@ def mesh_svgp_classification_sweep(num_trials: int, overrides: List[str]) -> Lis
     per-chunk snapshot + streaming-corrected update steps, p >= 0.5
     decisions. Labels enter the ELBO in {0, 1} (the likelihood maps them
     to ±1 internally)."""
-    import copy as _copy
-
     import jax
     import jax.numpy as jnp
     import optax
 
     from online_gp_tpu.experiments.config import parse_config
-    from online_gp_tpu.experiments.common import build_stem, load_dataset, solver_config
+    from online_gp_tpu.experiments.common import build_stem, solver_config
     from online_gp_tpu.kernels.base import make_kernel
     from online_gp_tpu.likelihoods.bernoulli import bernoulli_probit_predictive
     from online_gp_tpu.logging import CSVLogger
@@ -746,17 +749,9 @@ def mesh_svgp_classification_sweep(num_trials: int, overrides: List[str]) -> Lis
             f"model={cfg['model']['name']!r} dataset type={cfg['dataset']['type']!r}"
         )
 
-    per_trial = []
-    for t in range(num_trials):
-        ct = _copy.deepcopy(cfg)
-        ct["seed"] = t
-        per_trial.append(load_dataset(ct))
-    n_tr = min(d[0].shape[0] for d in per_trial)
-    n_te = min(d[2].shape[0] for d in per_trial)
-    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
-    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(-1) for d in per_trial]).astype(np.float32)
-    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
-    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(-1) for d in per_trial]).astype(np.int32)
+    train_x, train_y, test_x, test_y = _stack_trial_data(cfg, num_trials, "labels_f")
+    n_tr = train_x.shape[1]
+    test_y = test_y.astype(np.int32)
 
     stem = build_stem(cfg)
     model = SVGPModel(make_kernel("rbf"), likelihood="bernoulli")
@@ -920,14 +915,12 @@ def mesh_sgpr_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
     scan. Single-program deltas: BatchNorm stats frozen after pretrain,
     no replay padding, no z-resampling.
     """
-    import copy as _copy
-
     import jax
     import jax.numpy as jnp
     import optax
 
     from online_gp_tpu.experiments.config import parse_config
-    from online_gp_tpu.experiments.common import build_stem, load_dataset
+    from online_gp_tpu.experiments.common import build_stem
     from online_gp_tpu.kernels.base import make_kernel
     from online_gp_tpu.likelihoods.gaussian import gaussian_nll
     from online_gp_tpu.logging import CSVLogger
@@ -947,17 +940,8 @@ def mesh_sgpr_sweep(num_trials: int, overrides: List[str]) -> List[Dict]:
             f"model={cfg['model']['name']!r} dataset type={cfg['dataset']['type']!r}"
         )
 
-    per_trial = []
-    for t in range(num_trials):
-        ct = _copy.deepcopy(cfg)
-        ct["seed"] = t
-        per_trial.append(load_dataset(ct))
-    n_tr = min(d[0].shape[0] for d in per_trial)
-    n_te = min(d[2].shape[0] for d in per_trial)
-    train_x = np.stack([np.asarray(d[0][:n_tr]) for d in per_trial]).astype(np.float32)
-    train_y = np.stack([np.asarray(d[1][:n_tr]).reshape(n_tr, -1)[:, :1] for d in per_trial]).astype(np.float32)
-    test_x = np.stack([np.asarray(d[2][:n_te]) for d in per_trial]).astype(np.float32)
-    test_y = np.stack([np.asarray(d[3][:n_te]).reshape(n_te, -1)[:, :1] for d in per_trial]).astype(np.float32)
+    train_x, train_y, test_x, test_y = _stack_trial_data(cfg, num_trials, "single")
+    n_tr = train_x.shape[1]
 
     stem = build_stem(cfg)
     model = SGPRModel(make_kernel("rbf"), jitter=float(cfg["model"].get("jitter", 1e-4)))
