@@ -15,6 +15,10 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus an
   - full_update_per_sec: the complete L5 ``update()`` per point — stem
     gradient step on sm_partial_mll + hyper gradient step on the Woodbury
     MLL + condition (``api/regression.py:201-243`` semantics).
+  - full_update_chunk32_per_sec: the same L5 ``update()`` at chunk size
+    32 (the drivers' ``batch_size``/``chunk_size`` recipe for
+    hyper-adaptive streams — per-chunk stem+hyper steps, exact rank-32
+    conditioning).
 Each mode is correctness-gated before timing.
 """
 
@@ -113,15 +117,16 @@ def main():
 
     preq = bench_prequential(model, state, xs, ys, ns)
     full = bench_full_update(model, grid, d)
-    # chunked full-update is opt-in (adds ~2 fresh jit signatures; keeps
-    # the default driver-run bench within its time budget):
-    #   python bench.py --chunk32
+    # chunk=32 is the supported recipe for hyper-adaptive streams (drivers'
+    # chunk_size): per-chunk stem+hyper steps amortize the O(m^3) cache/Q
+    # rebuild over the chunk while the conditioning math stays exact.
+    # Skippable for a minimal run: python bench.py --no-chunk32
     import sys
 
     full32 = (
-        bench_full_update(model, grid, d, chunk=32)
-        if "--chunk32" in sys.argv
-        else None
+        None
+        if "--no-chunk32" in sys.argv
+        else bench_full_update(model, grid, d, chunk=32)
     )
 
     print(
@@ -289,8 +294,10 @@ def bench_full_update(model, grid, d, chunk: int = 1):
         )
         return carry, losses
 
-    n = max(256, 8 * chunk)
-    n_chunks = n // chunk
+    # enough scan chunks that the steady-state per-step cost dominates the
+    # fixed per-call dispatch/transfer overhead of the tunneled chip
+    # (~25 ms — at 8 chunks it swallowed 4x the real chunk-32 rate)
+    n_chunks = max(64, 256 // chunk)
     n = n_chunks * chunk
     xs = jax.random.uniform(ky, (n_chunks, chunk, d), minval=-1, maxval=1)
     ys = jnp.sin(3 * xs[..., :1])
