@@ -379,62 +379,6 @@ def pallas_rank1_update_slim_batched(L, B, v, tile: int = 128, interpret: bool =
     return outs
 
 
-def _fused_chunk_kernel(
-    s_in, l_in, b_full, b_tile, l_out, b_out, p0_scr, u_scr, p_scr, r_scr,
-    *, k: int,
-):
-    """Fused rank-k blocked chunk: stencil matmul + factor recursion +
-    MXU apply, one kernel (see :func:`pallas_blocked_chunk`).
-
-    Grid is over row tiles of L/B. Step 0 additionally computes all k
-    p0 rows with one MXU matmul against the VMEM-resident inverse root
-    (P0 = S @ B, S the sparse stencil matrix) and runs the k-step factor
-    recursion, filling the (k, m) scratch factors; every step then applies
-
-        L_tile += (L_tile @ R^T) @ U,   B_tile += (B_tile @ P^T) @ U
-
-    with f32 MXU matmuls. Scratch persists across the sequential grid.
-    """
-    i = pl.program_id(0)
-    hi = jax.lax.Precision.HIGHEST
-
-    @pl.when(i == 0)
-    def _():
-        u_scr[:] = jnp.zeros_like(u_scr)
-        p_scr[:] = jnp.zeros_like(p_scr)
-        r_scr[:] = jnp.zeros_like(r_scr)
-        # row t of P0 is B_chunk_start^T v_t (v_t = row t of S, sparse)
-        p0_scr[:] = jnp.dot(s_in[:], b_full[:], precision=hi)
-
-        def body(t, _):
-            p0 = p0_scr[pl.ds(t, 1), :]  # (1, m)
-            a = jnp.sum(p_scr[:] * p0, axis=1, keepdims=True)  # (k, 1)
-            p = p0 + jnp.sum(u_scr[:] * a, axis=0, keepdims=True)  # (1, m)
-            s2 = jnp.sum(p * p)
-            s = jnp.sqrt(s2)
-            inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
-            u = p * inv_s
-            c = jnp.sqrt(s2 + 1.0) - 1.0
-            d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
-            g = jnp.sum(u_scr[:] * u, axis=1, keepdims=True)  # (k, 1)
-            p_col = d * (u + jnp.sum(p_scr[:] * g, axis=0, keepdims=True))
-            r_col = c * (u + jnp.sum(r_scr[:] * g, axis=0, keepdims=True))
-            u_scr[pl.ds(t, 1), :] = u
-            p_scr[pl.ds(t, 1), :] = p_col
-            r_scr[pl.ds(t, 1), :] = r_col
-            return 0
-
-        jax.lax.fori_loop(0, k, body, 0)
-
-    lt = l_in[:]
-    t1 = jax.lax.dot_general(lt, r_scr[:], (((1,), (1,)), ((), ())), precision=hi)
-    l_out[:] = lt + jnp.dot(t1, u_scr[:], precision=hi)
-    bt = b_tile[:]
-    t2 = jax.lax.dot_general(bt, p_scr[:], (((1,), (1,)), ((), ())), precision=hi)
-    b_out[:] = bt + jnp.dot(t2, u_scr[:], precision=hi)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_blocked_chunk(L, B, S, interpret: bool = False):
     """One fused chunk of the blocked sequential-stream root update.
 
@@ -449,6 +393,12 @@ def pallas_blocked_chunk(L, B, S, interpret: bool = False):
     is ~5 m^2 floats (B read twice, L read+write, B write) — ~5 m^2 / k
     per update instead of the 4 m^2 of the per-point kernel.
 
+    Delegates to the batched kernel at Bd=1 (identical math and measured
+    VMEM behavior — one kernel to maintain instead of two). Admissible
+    (m, k) are bounded by the 16 MB scoped-VMEM compile limit; see
+    :func:`online_gp_tpu.ops.root_update.fused_chunk_fits_vmem` for the
+    measured envelope the auto dispatch uses.
+
     Args:
       L, B: (m, m) float32 root / inverse root.
       S: (k, m) float32 — row t is the (sparse, scatter-built) update
@@ -456,50 +406,48 @@ def pallas_blocked_chunk(L, B, S, interpret: bool = False):
 
     Returns (L', B').
     """
-    m = L.shape[-1]
-    k = S.shape[0]
-    tile = 128
-    grid = (pl.cdiv(m, tile),)
-    kernel = functools.partial(_fused_chunk_kernel, k=k)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((k, m), jnp.float32),
-            pltpu.VMEM((k, m), jnp.float32),
-            pltpu.VMEM((k, m), jnp.float32),
-            pltpu.VMEM((k, m), jnp.float32),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, m), jnp.float32),
-            jax.ShapeDtypeStruct((m, m), jnp.float32),
-        ],
-    )(S, L, B, B)
-    return outs
+    Lb, Bb = pallas_blocked_chunk_batched(
+        L[None], B[None], S[None], interpret=interpret
+    )
+    return Lb[0], Bb[0]
 
 
 def _fused_chunk_kernel_batched(
     s_in, l_in, b_full, b_tile, l_out, b_out, p0_scr, u_scr, p_scr, r_scr,
-    *, k: int,
+    *, k: int, sub: int,
 ):
-    """Batched-over-outputs :func:`_fused_chunk_kernel`: grid dim 0 selects
+    """Fused rank-k blocked chunk (stencil matmul + factor recursion +
+    MXU apply) with an output-batch grid dimension: grid dim 0 selects
     the output batch, dim 1 the row tile. Blocks carry a leading (1,) batch
     dim; the k-step factor recursion re-runs in scratch at each batch's
     first tile (batch-major grid order guarantees tiles of batch b see
-    batch b's factors)."""
+    batch b's factors). At each batch's first tile, one MXU matmul against
+    the VMEM-resident inverse root computes all k p0 rows (P0 = S @ B, S
+    the sparse stencil matrix) and the factor recursion fills the (k, m)
+    scratch factors; every tile then applies
+
+        L_tile += (L_tile @ R^T) @ U,   B_tile += (B_tile @ P^T) @ U
+
+    with f32 MXU matmuls. Scratch persists across the sequential grid.
+
+    TWO-LEVEL recursion (``sub < k``): the sequential per-step cost of the
+    flat recursion is O(k m) VPU reductions over the full scratch even
+    though only t rows are populated at step t — ~65% of the chunk's
+    runtime at k=128, m=900. Splitting k into k/sub sub-blocks makes it
+    O(sub m): the elementary-factor product telescopes as
+
+        F_k..F_1 = G_nb .. G_1,     G_j = I + sum_{t in j} u_t p_col_t^T
+
+    where each G_j comes from the FLAT recursion run locally on rows
+    pre-corrected by the previous sub-blocks' operators (q = G_{j-1}..G_1
+    p0, two MXU matmuls per (j, i<j) pair), and the L/B applications
+    multiply the G_j in stream order per tile. Exact same real-number
+    algebra as the flat recursion — fp reassociation only. ``sub == k``
+    IS the flat recursion (no correction passes, one local loop)."""
     i = pl.program_id(1)
     hi = jax.lax.Precision.HIGHEST
+    nb = k // sub
+    assert nb * sub == k
 
     @pl.when(i == 0)
     def _():
@@ -508,50 +456,94 @@ def _fused_chunk_kernel_batched(
         r_scr[:] = jnp.zeros_like(r_scr)
         p0_scr[:] = jnp.dot(s_in[0], b_full[0], precision=hi)
 
-        def body(t, _):
-            p0 = p0_scr[pl.ds(t, 1), :]
-            a = jnp.sum(p_scr[:] * p0, axis=1, keepdims=True)
-            p = p0 + jnp.sum(u_scr[:] * a, axis=0, keepdims=True)
-            s2 = jnp.sum(p * p)
-            s = jnp.sqrt(s2)
-            inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
-            u = p * inv_s
-            c = jnp.sqrt(s2 + 1.0) - 1.0
-            d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
-            g = jnp.sum(u_scr[:] * u, axis=1, keepdims=True)
-            p_col = d * (u + jnp.sum(p_scr[:] * g, axis=0, keepdims=True))
-            r_col = c * (u + jnp.sum(r_scr[:] * g, axis=0, keepdims=True))
-            u_scr[pl.ds(t, 1), :] = u
-            p_scr[pl.ds(t, 1), :] = p_col
-            r_scr[pl.ds(t, 1), :] = r_col
-            return 0
+        for j in range(nb):  # static unroll (nb is small: k/sub)
+            lo = j * sub
+            # correct this sub-block's raw rows by the previous
+            # sub-blocks' operators: q <- (I + U_i^T P_i) applied in
+            # stream order (row-vector form: q += (q P_i^T) U_i)
+            if j:
+                rows = p0_scr[pl.ds(lo, sub), :]  # (sub, m)
+                for i2 in range(j):
+                    lo2 = i2 * sub
+                    pi = p_scr[pl.ds(lo2, sub), :]
+                    ui = u_scr[pl.ds(lo2, sub), :]
+                    a2 = jax.lax.dot_general(
+                        rows, pi, (((1,), (1,)), ((), ())), precision=hi
+                    )  # (sub, sub)
+                    rows = rows + jnp.dot(a2, ui, precision=hi)
+                p0_scr[pl.ds(lo, sub), :] = rows
 
-        jax.lax.fori_loop(0, k, body, 0)
+            def body(t, _, lo=lo):
+                tt = lo + t
+                uloc = u_scr[pl.ds(lo, sub), :]
+                ploc = p_scr[pl.ds(lo, sub), :]
+                rloc = r_scr[pl.ds(lo, sub), :]
+                q = p0_scr[pl.ds(tt, 1), :]
+                a = jnp.sum(ploc * q, axis=1, keepdims=True)
+                p = q + jnp.sum(uloc * a, axis=0, keepdims=True)
+                s2 = jnp.sum(p * p)
+                s = jnp.sqrt(s2)
+                inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+                u = p * inv_s
+                c = jnp.sqrt(s2 + 1.0) - 1.0
+                d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+                g = jnp.sum(uloc * u, axis=1, keepdims=True)
+                p_col = d * (u + jnp.sum(ploc * g, axis=0, keepdims=True))
+                r_col = c * (u + jnp.sum(rloc * g, axis=0, keepdims=True))
+                u_scr[pl.ds(tt, 1), :] = u
+                p_scr[pl.ds(tt, 1), :] = p_col
+                r_scr[pl.ds(tt, 1), :] = r_col
+                return 0
 
+            jax.lax.fori_loop(0, sub, body, 0)
+
+    # apply the sub-block operators in stream order (G_1 first)
     lt = l_in[0]
-    t1 = jax.lax.dot_general(lt, r_scr[:], (((1,), (1,)), ((), ())), precision=hi)
-    l_out[:] = (lt + jnp.dot(t1, u_scr[:], precision=hi))[None]
     bt = b_tile[0]
-    t2 = jax.lax.dot_general(bt, p_scr[:], (((1,), (1,)), ((), ())), precision=hi)
-    b_out[:] = (bt + jnp.dot(t2, u_scr[:], precision=hi))[None]
+    for j in range(nb):
+        lo = j * sub
+        uj = u_scr[pl.ds(lo, sub), :]
+        rj = r_scr[pl.ds(lo, sub), :]
+        pj = p_scr[pl.ds(lo, sub), :]
+        t1 = jax.lax.dot_general(lt, rj, (((1,), (1,)), ((), ())), precision=hi)
+        lt = lt + jnp.dot(t1, uj, precision=hi)
+        t2 = jax.lax.dot_general(bt, pj, (((1,), (1,)), ((), ())), precision=hi)
+        bt = bt + jnp.dot(t2, uj, precision=hi)
+    l_out[:] = lt[None]
+    b_out[:] = bt[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_blocked_chunk_batched(L, B, S, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def pallas_blocked_chunk_batched(L, B, S, interpret: bool = False,
+                                 sub: int | None = None):
     """Batched-over-outputs :func:`pallas_blocked_chunk`: one pallas_call
     covering all output batches (grid (Bd, row-tiles)) instead of a Python
     unroll.
 
     Args:
       L, B: (Bd, m, m) float32; S: (Bd, k, m) float32 stencil rows.
+      sub: two-level recursion sub-block size (must divide k); default =
+        k, the flat recursion. MEASURED SLOWER when < k on v5e at
+        (m=900, k=128): 217 vs 124 us marginal per chunk at sub=32 — the
+        sequential step cost is dominated by the per-step scalar
+        dependency chain (norm -> rsqrt -> scaled row store), not by the
+        O(k m) reductions the sub-blocking shrinks, so the extra
+        cross-correction matmuls and per-sub-block applies only add
+        overhead. Kept as an option because the hierarchy is exact (fp
+        reassociation only, interpret-parity-tested) and the trade-off
+        may flip on parts with different VPU/scalar latency balance.
 
     Returns (L', B') with leading Bd dim.
     """
     Bd, m = L.shape[0], L.shape[-1]
     k = S.shape[1]
+    if sub is None:
+        sub = k
+    if k % sub:
+        raise ValueError(f"sub={sub} must divide the chunk rank k={k}")
     tile = 128
     grid = (Bd, pl.cdiv(m, tile))
-    kernel = functools.partial(_fused_chunk_kernel_batched, k=k)
+    kernel = functools.partial(_fused_chunk_kernel_batched, k=k, sub=sub)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -43,6 +43,19 @@ import jax.numpy as jnp
 from online_gp_tpu.ops.root_update import pad_and_chunk_stream, stencil_rows
 
 
+def pred_chunk_fits_vmem(m: int, k: int) -> bool:
+    """Conservative admissibility of the fused pred-chunk kernel: its
+    scoped-VMEM footprint (2 (k, m) scratch factors, the (k, m) stencil
+    block, the VMEM-resident (m, m) covariance cache, pipelined C row
+    tiles) must stay under the TPU's 16 MB scoped limit or compilation
+    fails. Measured compile outcomes on v5e (both the plain and the
+    batched variant): OK at (m,k) = (900, 128..384), (1024, 128),
+    (1152, 128), (1280, 128); OOM at (1280, 192) 16.05 MB and
+    (1408, 128) 16.19 MB. The auto dispatch admits only the measured-good
+    region; callers can force the kernel with ``use_pallas=True``."""
+    return (k <= 128 and m <= 1280) or (k <= 384 and m <= 900)
+
+
 def pred_chunk_xla(
     C: jnp.ndarray,
     mu: jnp.ndarray,
@@ -133,9 +146,12 @@ def pred_stream_blocked(
     """
     m = C.shape[-1]
     dtype = C.dtype
+    k_ub = int(min(block, max(idx.shape[0], 1)))
     if use_pallas is None:
         use_pallas = (
-            jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and pred_chunk_fits_vmem(m, k_ub)
         )
     if use_pallas and dtype != jnp.float32:
         raise TypeError(
@@ -214,9 +230,12 @@ def pred_stream_blocked_batched(
     """
     Bd, m = C.shape[0], C.shape[-1]
     dtype = C.dtype
+    k_ub = int(min(block, max(idx.shape[0], 1)))
     if use_pallas is None:
         use_pallas = (
-            jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and pred_chunk_fits_vmem(m, k_ub)
         )
     if not use_pallas:
         return jax.vmap(

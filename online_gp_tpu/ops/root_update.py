@@ -228,6 +228,29 @@ def pad_and_chunk_stream(idx: jnp.ndarray, wv: jnp.ndarray, block: int):
     return idx.reshape(nc, k, P), wv.reshape(nc, k, P), k
 
 
+def fused_chunk_fits_vmem(m: int, k: int) -> bool:
+    """Conservative admissibility of the fused blocked chunk kernel.
+
+    The kernel's scoped-VMEM footprint (4 (k, m) scratch factors, the
+    (k, m) stencil block, the VMEM-resident (m, m) inverse root, and the
+    pipelined L/B row tiles) must stay under the TPU's 16 MB scoped limit
+    or compilation fails ("Ran out of memory in memory space vmem ... on
+    stack"). Measured on v5e the limit is CONTEXT-DEPENDENT — e.g.
+    (m=900, k=256) compiles inside a ``lax.scan`` body but OOMs at
+    17.62 MB as a standalone jit, and no affine model in (k*m, m^2, m)
+    fits the measured allocations — so the auto dispatch admits only the
+    region that compiled in EVERY measured context:
+
+      OK everywhere: k <= 128 with m <= 1152 (30^2/32^2/33^2 grids).
+      Measured OOMs: (1216, 128) 16.20 MB, (1280, 128) 17.14 MB,
+      (900, 192) 16.31 MB standalone, (900, 512) 20.36 MB in-scan.
+
+    The old gate (``m <= 1280``, any k) admitted (1280, 128), which fails
+    on real hardware. Callers that know their context can still force the
+    kernel with ``use_pallas=True``."""
+    return k <= 128 and m <= 1152
+
+
 def roots_stream_blocked(
     L: jnp.ndarray,
     B: jnp.ndarray,
@@ -281,21 +304,23 @@ def roots_stream_blocked(
     """
     m = L.shape[-1]
     dtype = L.dtype
+    idx_c, wv_c, k = pad_and_chunk_stream(idx, wv, block)
+    nc = idx_c.shape[0]
     if use_pallas is None:
         # the fused kernel keeps the (m, m) inverse root VMEM-resident
         # (plus 4 (k, m) scratch buffers and the L/B row tiles), so guard
-        # on a VMEM budget; larger grids take the XLA blocked path
+        # on the measured scoped-VMEM envelope; larger (m, k) take the XLA
+        # blocked path (same math)
         use_pallas = (
-            jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and fused_chunk_fits_vmem(m, k)
         )
     if use_pallas and dtype != jnp.float32:
         raise TypeError(
             f"the fused Pallas chunk kernel is float32-only (got {dtype}); "
             "pass use_pallas=False for other dtypes"
         )
-
-    idx_c, wv_c, k = pad_and_chunk_stream(idx, wv, block)
-    nc = idx_c.shape[0]
 
     if use_pallas:
         # Fused-kernel path: one pallas call per chunk (stencil matmul
@@ -360,9 +385,12 @@ def roots_stream_blocked_batched(
     """
     Bd, m = L.shape[0], L.shape[-1]
     dtype = L.dtype
+    k_ub = int(min(block, max(idx.shape[0], 1)))  # chunk rank after padding
     if use_pallas is None:
         use_pallas = (
-            jax.default_backend() == "tpu" and dtype == jnp.float32 and m <= 1280
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and fused_chunk_fits_vmem(m, k_ub)
         )
     if not use_pallas:
         return jax.vmap(

@@ -142,3 +142,23 @@ def test_stream_blocked_batched_matches_vmapped_xla():
     )(cache.root, cache.inv_root, wv)
     np.testing.assert_allclose(Lp, Lx, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(Bp, Bx, rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_chunk_two_level_recursion_parity():
+    """The two-level (sub < k) factor recursion is exact: same real-number
+    algebra as the flat recursion, fp reassociation only. (Measured slower
+    on v5e — kept as an option; see pallas_blocked_chunk_batched.)"""
+    from online_gp_tpu.ops.pallas_root_update import pallas_blocked_chunk_batched
+
+    m, k, B = 96, 64, 2
+    cache = _make_cache(jax.random.PRNGKey(21), m, B)
+    S = jax.random.normal(jax.random.PRNGKey(22), (B, k, m), jnp.float32) * 0.3
+    flat = pallas_blocked_chunk_batched(
+        cache.root, cache.inv_root, S, interpret=True, sub=k
+    )
+    for sub in [16, 32]:
+        two = pallas_blocked_chunk_batched(
+            cache.root, cache.inv_root, S, interpret=True, sub=sub
+        )
+        np.testing.assert_allclose(two[0], flat[0], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(two[1], flat[1], rtol=2e-5, atol=2e-5)
