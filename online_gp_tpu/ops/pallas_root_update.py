@@ -513,9 +513,100 @@ def _fused_chunk_kernel_batched(
     b_out[:] = bt[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def _fused_chunk_kernel_coord(
+    s_in, l_in, b_full, b_tile, l_out, b_out,
+    p0_scr, m_scr, u_scr, p_scr, r_scr, tl_scr, tb_scr,
+    *, k: int,
+):
+    """Coordinate-space variant of :func:`_fused_chunk_kernel_batched`.
+
+    Every factor vector of the chunk recursion lives in span{p0 rows}, so
+    the k sequential steps can run on k-dim COORDINATES with inner
+    products taken through the k x k Gram matrix M = P0 P0^T:
+
+        u_t = alpha_t P0,  p_col_t = ptilde_t P0,  r_col_t = rtilde_t P0
+
+    turning the O(k m)-per-step scalar-chain body of the flat recursion
+    into an O(k)-per-step one (the (k, k) rows are ~m/k times cheaper to
+    reduce and store), while the applies contract through P0:
+
+        L_tile += (L_tile @ P0^T) @ (Rt^T Ut) @ P0   (and B with Pt^T Ut)
+
+    — the same 2 tile*m*k MXU MACs as the flat apply. Exact same
+    real-number algebra (verified against the flat recursion); fp differs
+    only by the Gram-space association of the inner products.
+
+    MEASURED NO FASTER on v5e (142 vs 124 us marginal per chunk at
+    m=900, k=128) and the scoped-VMEM envelope does not widen in practice
+    (compile OOMs at (1216, 128) like the flat kernel — the (m, m) B
+    block and tile pipeline dominate, and the accounting is non-monotone
+    in m). Root cause, established with a minimal dependent-step probe
+    kernel: EVERY per-point-exact sequential step pays a ~0.8 us
+    vector-reduce -> scalar -> vector turnaround on this hardware,
+    independent of row width (900 vs 128), loop unrolling, or keeping the
+    reduction in (1,1) vector form — so shrinking the O(k m) row work to
+    O(k) moves nothing. The flat kernel at ~0.97 us/step is ~85% of that
+    floor. Kept as the reference implementation of this analysis; see
+    DESIGN.md."""
+    i = pl.program_id(1)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = jnp.zeros_like(u_scr)
+        p_scr[:] = jnp.zeros_like(p_scr)
+        r_scr[:] = jnp.zeros_like(r_scr)
+        p0_scr[:] = jnp.dot(s_in[0], b_full[0], precision=hi)
+        m_scr[:] = jax.lax.dot_general(
+            p0_scr[:], p0_scr[:], (((1,), (1,)), ((), ())), precision=hi
+        )
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+        def body(t, _):
+            mt = m_scr[pl.ds(t, 1), :]  # (1, k) = M[t, :] (M symmetric)
+            a = jnp.sum(p_scr[:] * mt, axis=1, keepdims=True)  # (k, 1)
+            pi = jnp.where(col == t, 1.0, 0.0) + jnp.sum(
+                u_scr[:] * a, axis=0, keepdims=True
+            )  # (1, k)
+            mpi = jnp.sum(m_scr[:] * pi, axis=1, keepdims=True)  # (k, 1)
+            s2 = jnp.maximum(jnp.sum(pi * mpi.T), 0.0)
+            s = jnp.sqrt(s2)
+            inv_s = jnp.where(s > 1e-20, 1.0 / jnp.maximum(s, 1e-20), 0.0)
+            alpha = pi * inv_s  # (1, k)
+            c = jnp.sqrt(s2 + 1.0) - 1.0
+            d = 1.0 / jnp.sqrt(s2 + 1.0) - 1.0
+            malpha = mpi.T * inv_s  # (1, k) = (M alpha)^T
+            g = jnp.sum(u_scr[:] * malpha, axis=1, keepdims=True)  # (k, 1)
+            p_col = d * (alpha + jnp.sum(p_scr[:] * g, axis=0, keepdims=True))
+            r_col = c * (alpha + jnp.sum(r_scr[:] * g, axis=0, keepdims=True))
+            u_scr[pl.ds(t, 1), :] = alpha
+            p_scr[pl.ds(t, 1), :] = p_col
+            r_scr[pl.ds(t, 1), :] = r_col
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
+        # chunk operators in Gram space: C_l = I + P0^T (Rt^T Ut) P0
+        tl_scr[:] = jax.lax.dot_general(
+            r_scr[:], u_scr[:], (((0,), (0,)), ((), ())), precision=hi
+        )
+        tb_scr[:] = jax.lax.dot_general(
+            p_scr[:], u_scr[:], (((0,), (0,)), ((), ())), precision=hi
+        )
+
+    lt = l_in[0]
+    x1 = jax.lax.dot_general(lt, p0_scr[:], (((1,), (1,)), ((), ())), precision=hi)
+    l_out[:] = (lt + jnp.dot(jnp.dot(x1, tl_scr[:], precision=hi),
+                             p0_scr[:], precision=hi))[None]
+    bt = b_tile[0]
+    x2 = jax.lax.dot_general(bt, p0_scr[:], (((1,), (1,)), ((), ())), precision=hi)
+    b_out[:] = (bt + jnp.dot(jnp.dot(x2, tb_scr[:], precision=hi),
+                             p0_scr[:], precision=hi))[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "mode"))
 def pallas_blocked_chunk_batched(L, B, S, interpret: bool = False,
-                                 sub: int | None = None):
+                                 sub: int | None = None, mode: str = "flat"):
     """Batched-over-outputs :func:`pallas_blocked_chunk`: one pallas_call
     covering all output batches (grid (Bd, row-tiles)) instead of a Python
     unroll.
@@ -543,7 +634,27 @@ def pallas_blocked_chunk_batched(L, B, S, interpret: bool = False,
         raise ValueError(f"sub={sub} must divide the chunk rank k={k}")
     tile = 128
     grid = (Bd, pl.cdiv(m, tile))
-    kernel = functools.partial(_fused_chunk_kernel_batched, k=k, sub=sub)
+    if mode == "coord":
+        kernel = functools.partial(_fused_chunk_kernel_coord, k=k)
+        scratch = [
+            pltpu.VMEM((k, m), jnp.float32),  # P0
+            pltpu.VMEM((k, k), jnp.float32),  # M
+            pltpu.VMEM((k, k), jnp.float32),  # Ut
+            pltpu.VMEM((k, k), jnp.float32),  # Pt
+            pltpu.VMEM((k, k), jnp.float32),  # Rt
+            pltpu.VMEM((k, k), jnp.float32),  # TL = Rt^T Ut
+            pltpu.VMEM((k, k), jnp.float32),  # TB = Pt^T Ut
+        ]
+    elif mode == "flat":
+        kernel = functools.partial(_fused_chunk_kernel_batched, k=k, sub=sub)
+        scratch = [
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+            pltpu.VMEM((k, m), jnp.float32),
+        ]
+    else:
+        raise ValueError(f"unknown chunk-kernel mode {mode!r} (flat/coord)")
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -558,12 +669,7 @@ def pallas_blocked_chunk_batched(L, B, S, interpret: bool = False,
             pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, m), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((k, m), jnp.float32),
-            pltpu.VMEM((k, m), jnp.float32),
-            pltpu.VMEM((k, m), jnp.float32),
-            pltpu.VMEM((k, m), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         out_shape=[
             jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),
             jax.ShapeDtypeStruct((Bd, m, m), jnp.float32),

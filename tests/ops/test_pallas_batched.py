@@ -162,3 +162,25 @@ def test_blocked_chunk_two_level_recursion_parity():
         )
         np.testing.assert_allclose(two[0], flat[0], rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(two[1], flat[1], rtol=2e-5, atol=2e-5)
+
+
+def test_blocked_chunk_coord_mode_parity():
+    """The Gram-coordinate recursion (mode='coord') is exact vs the flat
+    kernel, including degenerate (duplicate / zero-padding) rows.
+    (Measured no faster on v5e — kept as the reference implementation of
+    the sequential latency-floor analysis; see its docstring.)"""
+    from online_gp_tpu.ops.pallas_root_update import pallas_blocked_chunk_batched
+
+    m, k, B = 96, 64, 2
+    cache = _make_cache(jax.random.PRNGKey(31), m, B)
+    S = jax.random.normal(jax.random.PRNGKey(32), (B, k, m), jnp.float32) * 0.3
+    S = S.at[:, 5].set(S[:, 2])  # duplicate row -> rank-deficient Gram
+    S = S.at[:, 40].set(0.0)  # zero row -> exact no-op step
+    flat = pallas_blocked_chunk_batched(
+        cache.root, cache.inv_root, S, interpret=True, mode="flat"
+    )
+    coord = pallas_blocked_chunk_batched(
+        cache.root, cache.inv_root, S, interpret=True, mode="coord"
+    )
+    np.testing.assert_allclose(coord[0], flat[0], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(coord[1], flat[1], rtol=5e-4, atol=5e-4)
