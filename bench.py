@@ -107,11 +107,15 @@ def main():
     out = stream(state, xs, ys, ns)
     jax.block_until_ready(out.roots.root)
 
+    # timing forces a device->host VALUE transfer, not just
+    # block_until_ready: on the tunneled single-chip backend the latter
+    # can return before small programs finish (measured); fetching a
+    # scalar cannot (cross-checked equal at this program size)
     reps, best = 3, 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         out = stream(state, xs, ys, ns)
-        jax.block_until_ready(out.roots.root)
+        _ = float(out.roots.root[0, 0, 0])
         dt = time.perf_counter() - t0
         best = max(best, n_stream / dt)
 
@@ -204,7 +208,7 @@ def bench_prequential(model, state, xs, ys, ns):
     for _ in range(3):
         t0 = time.perf_counter()
         out = preq(state, caches, xs2, ys2, ns2)
-        jax.block_until_ready(out[0].roots.root)
+        _ = float(out[0].roots.root[0, 0, 0])  # value-forced completion
         best = max(best, n_stream / (time.perf_counter() - t0))
     return best
 
@@ -312,7 +316,7 @@ def bench_full_update(model, grid, d, chunk: int = 1):
     for _ in range(3):
         t0 = time.perf_counter()
         carry, losses = run(params, stem_params, state, xs, ys)
-        jax.block_until_ready(carry[0]["kernel"]["raw_lengthscale"])
+        _ = float(carry[0]["kernel"]["raw_lengthscale"].ravel()[0])  # value-forced
         best = max(best, n / (time.perf_counter() - t0))
     return best
 
