@@ -174,8 +174,9 @@ def localgp_experts_step(model, optimizer, lr_unused=None):
     mixture reduction in ``localgp_predict`` (weight normalization + the
     weighted moment sums over E) and the scalar loss sum — XLA lowers
     both to one psum over the mesh axis. The reference's LocalGP
-    (``online_gp/models/local_gp.py``) runs experts as a Python list on
-    one device; this scales the expert count with the mesh.
+    (``online_gp/models/online_localgp_regression.py``) runs experts as
+    a Python list on one device; this scales the expert count with the
+    mesh.
 
     Returns ``step(params, opt_state, state, xt) -> (params, opt_state,
     loss, mean, var)`` — jit it with a sharded ``state`` (params/xt
