@@ -4,7 +4,11 @@ The L5 surface (`fit/update/predict/evaluate/set_lr/.noise`) over
 :mod:`online_gp_tpu.models.wiski_lowrank` — the
 ``max_root_decomposition_size`` + ``use_toeplitz`` regime: grids with
 m ≫ max_cholesky_size (e.g. 1-D m=8192 or 3-D 40³) where the dense core's
-O(m²) state is infeasible. Single-output; stems follow the dense wrapper.
+O(m²) state is infeasible. Multi-output targets ride the batched
+(``_b``) low-rank core — per-output hypers and caches over shared
+inputs, mirroring the dense wrapper's batched ``WiskiModel`` (reference
+``batched_fixed_noise_online_gp.py`` batches its lazies the same way).
+Stems follow the dense wrapper.
 """
 
 from __future__ import annotations
@@ -21,11 +25,16 @@ from online_gp_tpu.kernels.base import make_kernel, Kernel
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.models.wiski_lowrank import (
     WiskiLowRankModel,
+    lowrank_init_params_batched,
     lowrank_second_noise,
     wiski_lowrank_init,
+    wiski_lowrank_init_b,
     wiski_lowrank_condition,
+    wiski_lowrank_condition_b,
     wiski_lowrank_mll,
+    wiski_lowrank_mll_b,
     wiski_lowrank_predict,
+    wiski_lowrank_predict_b,
 )
 from online_gp_tpu.api.stems import Stem
 from online_gp_tpu.utils.metrics import batched_rmse_nll
@@ -49,11 +58,11 @@ class OnlineSKILowRankRegression:
     ):
         init_x = jnp.asarray(init_x)
         init_y = jnp.asarray(init_y)
-        assert init_y.ndim == 2 and init_y.shape[-1] == 1, "single-output wrapper"
+        assert init_y.ndim == 2, "targets must have an explicit output dimension"
         self.stem = stem
         self.cfg = cfg
         self.lr = lr
-        self.target_dim = 1
+        self.target_dim = init_y.shape[-1]
 
         key = jax.random.PRNGKey(seed)
         self.stem_params, self.stem_state = stem.init(key)
@@ -67,8 +76,18 @@ class OnlineSKILowRankRegression:
         self.model = WiskiLowRankModel(
             kernel, grid, rank=rank, learn_additional_noise=True, use_toeplitz=use_toeplitz
         )
-        self.params = self.model.init_params(stem.output_dim)
-        self.state = wiski_lowrank_init(self.model, feats, init_y, jnp.ones_like(init_y), key=key)
+        if self.target_dim == 1:
+            self.params = self.model.init_params(stem.output_dim)
+            self.state = wiski_lowrank_init(
+                self.model, feats, init_y, jnp.ones_like(init_y), key=key
+            )
+        else:
+            self.params = lowrank_init_params_batched(
+                self.model, stem.output_dim, self.target_dim
+            )
+            self.state = wiski_lowrank_init_b(
+                self.model, feats, init_y, jnp.ones_like(init_y), key=key
+            )
 
         # streaming convention: per-step hyper moves run at lr/10 (the
         # full lr belongs to batch `fit`); together with the sigma^2 floor
@@ -89,15 +108,19 @@ class OnlineSKILowRankRegression:
         model, cfg = self.model, self.cfg
         cfg_skip = cfg.replace(skip_logdet_forward=True)
         gp_opt = self.gp_opt
+        mll_fn = wiski_lowrank_mll if self.target_dim == 1 else wiski_lowrank_mll_b
+        cond_fn = (
+            wiski_lowrank_condition if self.target_dim == 1 else wiski_lowrank_condition_b
+        )
 
         def fn(params, gp_opt_state, state, feats, y):
             loss, grads = jax.value_and_grad(
-                lambda p: -wiski_lowrank_mll(model, p, state, cfg_skip)
+                lambda p: -jnp.sum(mll_fn(model, p, state, cfg_skip))
             )(params)
             up, gp_opt_state = gp_opt.update(grads, gp_opt_state, params)
             params = optax.apply_updates(params, up)
             noise = jnp.ones_like(y)
-            state = wiski_lowrank_condition(model, state, feats, y, noise)
+            state = cond_fn(model, state, feats, y, noise)
             return params, gp_opt_state, state, loss
 
         self._jit_cache[key] = jax.jit(fn)
@@ -117,7 +140,7 @@ class OnlineSKILowRankRegression:
                 stacklevel=2,
             )
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        targets = jnp.asarray(targets).reshape(-1, 1)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
         feats = self._features(inputs)
         fn = self._update_fn(inputs.shape[0])
         self.params, self.gp_opt_state, self.state, loss = fn(
@@ -130,9 +153,14 @@ class OnlineSKILowRankRegression:
         Lanczos root per epoch is wasteful; large-grid practice is fit
         hypers against the standing caches, then stream."""
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        targets = jnp.asarray(targets).reshape(-1, 1)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
         feats = self._features(inputs)
-        self.state = wiski_lowrank_init(self.model, feats, targets, jnp.ones_like(targets))
+        if self.target_dim == 1:
+            self.state = wiski_lowrank_init(self.model, feats, targets, jnp.ones_like(targets))
+            mll_fn = wiski_lowrank_mll
+        else:
+            self.state = wiski_lowrank_init_b(self.model, feats, targets, jnp.ones_like(targets))
+            mll_fn = wiski_lowrank_mll_b
         model, cfg = self.model, self.cfg
         opt = optax.adam(self.lr)
 
@@ -140,7 +168,7 @@ class OnlineSKILowRankRegression:
         def epochs(params, state, opt_state):
             def step(carry, _):
                 p, os_ = carry
-                loss, g = jax.value_and_grad(lambda q: -wiski_lowrank_mll(model, q, state, cfg))(p)
+                loss, g = jax.value_and_grad(lambda q: -jnp.sum(mll_fn(model, q, state, cfg)))(p)
                 up, os_ = opt.update(g, os_, p)
                 return (optax.apply_updates(p, up), os_), loss
 
@@ -161,17 +189,26 @@ class OnlineSKILowRankRegression:
         if key not in self._jit_cache:
             model, cfg = self.model, self.cfg
 
-            def fn(params, state, f):
-                mean, var = wiski_lowrank_predict(model, params, state, f, cfg)
-                var = var + lowrank_second_noise(params)
-                return mean[:, None], var[:, None]
+            if self.target_dim == 1:
+
+                def fn(params, state, f):
+                    mean, var = wiski_lowrank_predict(model, params, state, f, cfg)
+                    var = var + lowrank_second_noise(params)
+                    return mean[:, None], var[:, None]
+
+            else:
+
+                def fn(params, state, f):
+                    mean, var = wiski_lowrank_predict_b(model, params, state, f, cfg)
+                    var = var + lowrank_second_noise(params)[:, None]
+                    return mean.T, var.T  # (n, B)
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](self.params, self.state, feats)
 
     def evaluate(self, inputs, targets) -> Tuple[float, float]:
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        targets = jnp.asarray(targets).reshape(-1, 1)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
         return batched_rmse_nll(self.predict, inputs, targets)
 
     def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):

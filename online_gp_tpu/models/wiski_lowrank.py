@@ -27,8 +27,10 @@ k×k. This module is that regime, TPU-first:
            variance via the LOVE-style rank-k root R = (K L) Lq^{-T} and
            per-point Toeplitz diagonals.
 
-Init takes a rank-k Lanczos of A = W D^{-1} W^T (never materialized:
-A v = W (D^{-1} (W^T v)) through the interpolation gathers).
+Init absorbs the seed data through the same exact append-then-compress
+recursion (chunks of the exact factor V = W^T D^{-1/2}), so the root is
+exact up to the buffer width and optimally truncated beyond it — see
+``wiski_lowrank_init``.
 """
 
 from __future__ import annotations
@@ -45,7 +47,6 @@ from online_gp_tpu.kernels.priors import log_prior_sum
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.ops.interp import interp_coeffs, dense_w, interp_matvec
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
-from online_gp_tpu.ops.cg import lanczos_root
 
 LOG_2PI = 1.8378770664093453
 
@@ -111,44 +112,61 @@ def wiski_lowrank_init(
     key=None,
     chunk: int = 4096,
 ) -> WiskiLowRankState:
-    """Build caches with a rank-k Lanczos root of A = W D^{-1} W^T."""
+    """Build caches by absorbing the seed data through the EXACT
+    append-then-compress recursion the streaming path uses.
+
+    The root starts empty and each ≤(k_buf - rank)-column chunk of the
+    exact factor V = W^T D^{-1/2} is appended via
+    :func:`wiski_lowrank_condition`; compression (optimal top-``rank``
+    SVD truncation of the accumulated root) only fires once the buffer
+    fills. Consequences:
+
+    - n ≤ k_buf (= 2·rank by default): the root is EXACT — the collapsed
+      MLL and the posterior mean see the full data evidence.
+    - n > k_buf: the root is the same amortized top-k truncation a
+      streamed ingest would produce — never worse than streaming.
+
+    An earlier design took a fixed rank-``rank`` Lanczos root of
+    A = W D^{-1} W^T here. That under-shrinks whenever n > rank: ``wty``
+    is exact over all n points while the Woodbury correction only spans
+    the probed rank-k subspace, so posterior means grow ~O(n) in the
+    unshrunk directions and hyper fits on the truncated MLL diverge (the
+    reference never hits this because its mean-path solves are CG, with
+    the capped root only used for LOVE variances —
+    ``updated_root_lazy_tensor.py``; here the rank-capped root IS the
+    inverse, so init must respect the buffer contract).
+
+    ``key`` is accepted for API compatibility; the recursion is
+    deterministic and ignores it.
+    """
+    del key  # deterministic init — kept for call-site compatibility
     m = model.grid.num_points
     y = y.reshape(-1, 1)
     noise = noise.reshape(-1, 1)
     n = x.shape[0]
-    key = jax.random.PRNGKey(0) if key is None else key
+    dtype = x.dtype
 
-    idx, w = interp_coeffs(model.grid, x)
-
-    def a_mvm(vec: jnp.ndarray) -> jnp.ndarray:
-        """A v without materializing A: gather + scale + scatter."""
-        wv = jnp.einsum("np,np->n", w, vec[idx])  # (W^T v)_n
-        contrib = (w * (wv / noise[:, 0])[:, None]).reshape(-1)
-        return jnp.zeros((m,), vec.dtype).at[idx.reshape(-1)].add(contrib)
-
-    with jax.default_matmul_precision("float32"):
-        wty = jnp.zeros((m, 1), x.dtype)
-        ydy = jnp.zeros((), x.dtype)
-        for start in range(0, n, chunk):
-            i_c, w_c = idx[start : start + chunk], w[start : start + chunk]
-            y_c, n_c = y[start : start + chunk], noise[start : start + chunk]
-            dinv_y = y_c / n_c
-            contrib = (w_c * dinv_y).reshape(-1)
-            wty = wty.at[i_c.reshape(-1), 0].add(contrib)
-            ydy = ydy + jnp.sum(y_c * dinv_y)
-
-        v0 = jax.random.normal(key, (m,), x.dtype)
-        L0 = lanczos_root(a_mvm, v0, model.rank)  # (m, rank)
-        L = jnp.zeros((m, model.k_buf), x.dtype).at[:, : model.rank].set(L0)
-
-    return WiskiLowRankState(
-        wty=wty,
-        ydy=ydy,
-        root=L,
-        used=jnp.asarray(model.rank, jnp.int32),
-        d_logdet=jnp.sum(jnp.log(noise)),
-        num_data=jnp.asarray(n, jnp.int32),
+    state = WiskiLowRankState(
+        wty=jnp.zeros((m, 1), dtype),
+        ydy=jnp.zeros((), dtype),
+        root=jnp.zeros((m, model.k_buf), dtype),
+        used=jnp.asarray(0, jnp.int32),
+        d_logdet=jnp.zeros((), dtype),
+        num_data=jnp.asarray(0, jnp.int32),
     )
+    # one traced absorb per chunk shape (two compiles: body + tail)
+    absorb = jax.jit(
+        lambda s, xc, yc, nc: wiski_lowrank_condition(model, s, xc, yc, nc)
+    )
+    step = min(chunk, model.k_buf - model.rank)
+    for start in range(0, n, step):
+        state = absorb(
+            state,
+            x[start : start + step],
+            y[start : start + step],
+            noise[start : start + step],
+        )
+    return state
 
 
 def wiski_lowrank_condition(

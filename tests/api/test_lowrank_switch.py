@@ -43,6 +43,34 @@ def test_small_grid_stays_dense():
     assert type(w) is OnlineSKIRegression
 
 
+def test_multi_output_lowrank_stream():
+    """Multi-output targets through the low-rank route: per-output hypers
+    and caches over shared inputs (batched ``_b`` core), same L5 surface
+    as the dense wrapper's batched WiskiModel (reference
+    ``batched_fixed_noise_online_gp.py`` batching semantics)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x = np.asarray(jax.random.uniform(k1, (96, 1), minval=-1, maxval=1))
+    y = np.asarray(
+        jnp.concatenate(
+            [jnp.sin(4 * jnp.asarray(x)), jnp.cos(3 * jnp.asarray(x))], axis=-1
+        )
+        + 0.05 * jax.random.normal(k2, (96, 2))
+    )
+    w = OnlineSKIRegression(IdentityStem(1), x, y, grid_size=2048, lr=0.05, low_rank=64)
+    assert isinstance(w, OnlineSKILowRankRegression)
+    assert w.target_dim == 2
+    w.fit(x, y, num_epochs=20)
+    for i in range(0, 32, 4):
+        w.update(x[i : i + 4], y[i : i + 4])
+    mean, var = w.predict(x[:16])
+    assert mean.shape == (16, 2) and var.shape == (16, 2)
+    assert bool(jnp.isfinite(mean).all()) and bool((var > 0).all())
+    assert w.noise.shape == (2,)
+    rmse, nll = w.evaluate(x, y)
+    assert np.isfinite(rmse) and np.isfinite(nll)
+    assert rmse < 0.5, f"multi-output rmse {rmse}"
+
+
 def test_m8192_stream_sane_nll():
     """1-D m=8192 stream through the L5 API: per-step hyper fitting plus
     conditioning must leave a finite, sane NLL (the round-1 sigma^2

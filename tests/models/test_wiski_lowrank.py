@@ -89,7 +89,8 @@ def test_condition_tracks_dense():
 
 def test_large_grid_smoke():
     # m = 4096 — the dense path would need a 4096^2 root init per epoch;
-    # here init is rank-64 Lanczos + structured Toeplitz MVMs.
+    # here init is chunked exact-append + top-64 compression, and the
+    # MLL rides structured Toeplitz MVMs.
     x, y = _data(n=500, seed=3)
     noise = jnp.full_like(y, 0.1)
     grid = Grid.create([(-1.1, 1.1)], 4096)
