@@ -84,7 +84,9 @@ class OnlineSKILowRankClassifier:
             use_toeplitz=use_toeplitz,
         )
         self.params = lowrank_init_params_batched(self.model, stem.output_dim, num_classes)
-        self.state = wiski_lowrank_init_b(self.model, feats, targets, sigma2, key=key)
+        self.state = wiski_lowrank_init_b(
+            self.model, feats, targets, sigma2, key=key, params=self.params
+        )
 
         self.gp_opt = optax.adam(lr / 10.0)  # streaming convention (see
         # api/lowrank_regression.py: the full lr belongs to batch fit)
@@ -148,7 +150,10 @@ class OnlineSKILowRankClassifier:
                     params = optax.apply_updates(params, up)
                 else:
                     loss = jnp.asarray(0.0, feats.dtype)
-                state = wiski_lowrank_condition_b(model, state, feats, targets, sigma2)
+                # per-output hypers make buffer compression kernel-aware
+                state = wiski_lowrank_condition_b(
+                    model, state, feats, targets, sigma2, params
+                )
                 return params, gp_opt_state, state, loss
 
             self._jit_cache[key] = jax.jit(fn)
@@ -165,7 +170,9 @@ class OnlineSKILowRankClassifier:
         labels = jnp.asarray(labels).astype(jnp.int32).reshape(-1)
         feats = self._features(inputs)
         targets, _, sigma2 = dirichlet_transform(labels, self.num_classes, self.alpha_eps)
-        self.state = wiski_lowrank_init_b(self.model, feats, targets, sigma2)
+        self.state = wiski_lowrank_init_b(
+            self.model, feats, targets, sigma2, params=self.params
+        )
         model, cfg = self.model, self.cfg
         opt = optax.adam(self.lr)
 

@@ -79,14 +79,16 @@ class OnlineSKILowRankRegression:
         if self.target_dim == 1:
             self.params = self.model.init_params(stem.output_dim)
             self.state = wiski_lowrank_init(
-                self.model, feats, init_y, jnp.ones_like(init_y), key=key
+                self.model, feats, init_y, jnp.ones_like(init_y), key=key,
+                params=self.params,
             )
         else:
             self.params = lowrank_init_params_batched(
                 self.model, stem.output_dim, self.target_dim
             )
             self.state = wiski_lowrank_init_b(
-                self.model, feats, init_y, jnp.ones_like(init_y), key=key
+                self.model, feats, init_y, jnp.ones_like(init_y), key=key,
+                params=self.params,
             )
 
         # streaming convention: per-step hyper moves run at lr/10 (the
@@ -120,7 +122,9 @@ class OnlineSKILowRankRegression:
             up, gp_opt_state = gp_opt.update(grads, gp_opt_state, params)
             params = optax.apply_updates(params, up)
             noise = jnp.ones_like(y)
-            state = cond_fn(model, state, feats, y, noise)
+            # current hypers make any buffer compression kernel-aware
+            # (optimal truncation of the whitened evidence operator)
+            state = cond_fn(model, state, feats, y, noise, params)
             return params, gp_opt_state, state, loss
 
         self._jit_cache[key] = jax.jit(fn)
@@ -156,10 +160,14 @@ class OnlineSKILowRankRegression:
         targets = jnp.asarray(targets).reshape(-1, self.target_dim)
         feats = self._features(inputs)
         if self.target_dim == 1:
-            self.state = wiski_lowrank_init(self.model, feats, targets, jnp.ones_like(targets))
+            self.state = wiski_lowrank_init(
+                self.model, feats, targets, jnp.ones_like(targets), params=self.params
+            )
             mll_fn = wiski_lowrank_mll
         else:
-            self.state = wiski_lowrank_init_b(self.model, feats, targets, jnp.ones_like(targets))
+            self.state = wiski_lowrank_init_b(
+                self.model, feats, targets, jnp.ones_like(targets), params=self.params
+            )
             mll_fn = wiski_lowrank_mll_b
         model, cfg = self.model, self.cfg
         opt = optax.adam(self.lr)

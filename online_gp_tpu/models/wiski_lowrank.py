@@ -111,6 +111,7 @@ def wiski_lowrank_init(
     noise: jnp.ndarray,
     key=None,
     chunk: int = 4096,
+    params: Optional[Dict] = None,
 ) -> WiskiLowRankState:
     """Build caches by absorbing the seed data through the EXACT
     append-then-compress recursion the streaming path uses.
@@ -137,7 +138,9 @@ def wiski_lowrank_init(
     inverse, so init must respect the buffer contract).
 
     ``key`` is accepted for API compatibility; the recursion is
-    deterministic and ignores it.
+    deterministic and ignores it. With ``params``, any compression the
+    seed absorb triggers (n > k_buf) is kernel-aware — see
+    :func:`wiski_lowrank_condition`.
     """
     del key  # deterministic init — kept for call-site compatibility
     m = model.grid.num_points
@@ -156,7 +159,7 @@ def wiski_lowrank_init(
     )
     # one traced absorb per chunk shape (two compiles: body + tail)
     absorb = jax.jit(
-        lambda s, xc, yc, nc: wiski_lowrank_condition(model, s, xc, yc, nc)
+        lambda s, xc, yc, nc: wiski_lowrank_condition(model, s, xc, yc, nc, params)
     )
     step = min(chunk, model.k_buf - model.rank)
     for start in range(0, n, step):
@@ -175,6 +178,7 @@ def wiski_lowrank_condition(
     x: jnp.ndarray,
     y: jnp.ndarray,
     noise: jnp.ndarray,
+    params: Optional[Dict] = None,
 ) -> WiskiLowRankState:
     """Exact O(m q) rank-q conditioning by column append, with amortized
     top-rank compression.
@@ -182,10 +186,20 @@ def wiski_lowrank_condition(
     A + v v^T = [L v][L v]^T exactly, so new observations append scaled
     interpolation columns into the root buffer. When fewer than q slots
     remain, the root is compressed to its best rank-``model.rank``
-    approximation first (eigh of the k_buf x k_buf Gram, O(m k^2) once per
+    approximation first (eigh of a k_buf x k_buf Gram, O(m k^2) once per
     ~(k_buf - rank) updates). The compression is the ONLY approximation —
     unlike the reference's fixed-subspace update, no out-of-span
     information is dropped at append time.
+
+    With ``params`` (kernel hypers), compression is KERNEL-AWARE: the
+    eigh runs on L^T K_uu L (k_buf structured MVMs) instead of L^T L, so
+    the retained subspace is the optimal rank-``rank`` truncation of the
+    whitened evidence operator K^{1/2} A K^{1/2} — the object whose
+    truncation error drives posterior-mean error — rather than of A
+    itself. Directions with little posterior shrinkage are dropped first.
+    The state then depends (through the truncation choice only) on the
+    hypers at compression time; conditioning stays gradient-free either
+    way. Without ``params`` the Frobenius-optimal A-truncation is used.
     """
     y = y.reshape(-1, 1)
     noise = noise.reshape(-1, 1)
@@ -201,7 +215,16 @@ def wiski_lowrank_condition(
 
     with jax.default_matmul_precision("float32"):
         def compress(root):
-            gram = root.T @ root  # (k_buf, k_buf)
+            if params is None:
+                gram = root.T @ root  # (k_buf, k_buf)
+            else:
+                # right-singular vectors of K^{1/2} L: B V_k V_k^T B^T is
+                # the best rank-k approx of B B^T for B = K^{1/2} L
+                kroot = jax.lax.stop_gradient(
+                    _kuu_mvm(model, params, root)
+                )  # (m, k_buf)
+                gram = root.T @ kroot
+                gram = 0.5 * (gram + gram.T)
             evals, V = jnp.linalg.eigh(gram)  # ascending
             keep = V[:, k_buf - k0 :]  # top-k0 eigvecs
             newL = root @ keep  # (m, k0); newL newL^T = best rank-k0 approx
@@ -352,25 +375,39 @@ def lowrank_init_params_batched(
 def wiski_lowrank_init_b(
     model: WiskiLowRankModel, x: jnp.ndarray, y: jnp.ndarray,
     noise: jnp.ndarray, key=None, chunk: int = 4096,
+    params: Optional[Dict] = None,
 ) -> WiskiLowRankState:
     """Batched init: shared x (n, d); y/noise (n, B). State leaves gain a
-    leading B dim."""
+    leading B dim. With ``params`` (per-output batched hypers), any seed
+    compression is kernel-aware per output."""
     B = y.shape[-1]
     key = jax.random.PRNGKey(0) if key is None else key
     keys = jax.random.split(key, B)
+    if params is None:
+        return jax.vmap(
+            lambda yy, nn, kk: wiski_lowrank_init(model, x, yy, nn, key=kk, chunk=chunk)
+        )(y.T, noise.T, keys)
     return jax.vmap(
-        lambda yy, nn, kk: wiski_lowrank_init(model, x, yy, nn, key=kk, chunk=chunk)
-    )(y.T, noise.T, keys)
+        lambda yy, nn, kk, p: wiski_lowrank_init(
+            model, x, yy, nn, key=kk, chunk=chunk, params=p
+        )
+    )(y.T, noise.T, keys, params)
 
 
 def wiski_lowrank_condition_b(
     model: WiskiLowRankModel, state: WiskiLowRankState, x: jnp.ndarray,
-    y: jnp.ndarray, noise: jnp.ndarray,
+    y: jnp.ndarray, noise: jnp.ndarray, params: Optional[Dict] = None,
 ) -> WiskiLowRankState:
-    """Batched rank-q conditioning: shared x (q, d); y/noise (q, B)."""
+    """Batched rank-q conditioning: shared x (q, d); y/noise (q, B).
+    With ``params`` (per-output batched hypers), compression is
+    kernel-aware per output — see :func:`wiski_lowrank_condition`."""
+    if params is None:
+        return jax.vmap(
+            lambda s, yy, nn: wiski_lowrank_condition(model, s, x, yy, nn)
+        )(state, y.T, noise.T)
     return jax.vmap(
-        lambda s, yy, nn: wiski_lowrank_condition(model, s, x, yy, nn)
-    )(state, y.T, noise.T)
+        lambda s, yy, nn, p: wiski_lowrank_condition(model, s, x, yy, nn, p)
+    )(state, y.T, noise.T, params)
 
 
 def wiski_lowrank_mll_b(
