@@ -132,6 +132,16 @@ def main():
         if "--no-chunk32" in sys.argv
         else bench_full_update(model, grid, d, chunk=32)
     )
+    # stale-cache arm (VERDICT r3 item 3): per-POINT stem step + exact
+    # per-point conditioning, with the O(m^3) cache/Q rebuild and the GP
+    # hyper step amortized to segment boundaries (every 8 points). A
+    # documented deviation from the reference's per-point hyper step —
+    # the per-point-exact part (conditioning) is unchanged.
+    full_stale = (
+        None
+        if "--no-chunk32" in sys.argv
+        else bench_full_update_stale(model, grid, d, refresh_every=8)
+    )
 
     print(
         json.dumps(
@@ -146,6 +156,11 @@ def main():
                     **(
                         {"full_update_chunk32_per_sec": round(full32, 1)}
                         if full32 is not None
+                        else {}
+                    ),
+                    **(
+                        {"full_update_stale_cache_per_sec": round(full_stale, 1)}
+                        if full_stale is not None
                         else {}
                     ),
                 },
@@ -317,6 +332,116 @@ def bench_full_update(model, grid, d, chunk: int = 1):
         t0 = time.perf_counter()
         carry, losses = run(params, stem_params, state, xs, ys)
         _ = float(carry[0]["kernel"]["raw_lengthscale"].ravel()[0])  # value-forced
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
+def bench_full_update_stale(model, grid, d, refresh_every: int = 8):
+    """Stale-cache full update (VERDICT r3 item 3 headroom arm): per-POINT
+    stem gradient step (sm_partial_mll against segment-start caches) and
+    per-point exact rank-1 conditioning, with the O(m^3) prediction-cache
+    rebuild and the GP hyper step amortized to every ``refresh_every``
+    points. Deviation from the reference's per-point hyper step
+    (``experiments/regression.py:49-54``) is documented in DESIGN.md §3 —
+    the measured per-point MLL-gradient cost (681 us at m=900) caps any
+    per-point-hyper design at ~1.5k/s, so this arm trades hyper-step
+    frequency for throughput while keeping conditioning per-point exact.
+    Returns points/s."""
+    import optax
+
+    from online_gp_tpu.api.stems import LinearStem
+    from online_gp_tpu.config import SolverConfig
+    from online_gp_tpu.models.partial_mll import sm_partial_mll
+    from online_gp_tpu.models.wiski import (
+        wiski_condition,
+        wiski_init,
+        wiski_mll,
+        wiski_prediction_caches,
+        wiski_slim,
+    )
+
+    params = model.init_params(d)
+    stem = LinearStem(d, d)
+    key = jax.random.PRNGKey(0)
+    stem_params, bn_state = stem.init(key)
+    cfg = SolverConfig()
+    cfg_skip = cfg.replace(skip_logdet_forward=True)
+
+    kx, ky = jax.random.split(key)
+    x0 = jax.random.uniform(kx, (256, d), minval=-1, maxval=1)
+    f0, _ = stem.apply(stem_params, bn_state, x0, train=False)
+    y0 = jnp.sin(3 * x0[:, :1])
+    state = wiski_slim(
+        wiski_init(model, jax.lax.stop_gradient(f0), y0, jnp.ones_like(y0))
+    )
+
+    gp_opt = optax.adam(1e-2)
+    stem_opt = optax.adam(1e-2)
+
+    def point_step(carry, inp):
+        sp, st_os, state, params, caches = carry
+        x, y = inp  # (1, d), (1, 1)
+
+        def stem_loss(sp_):
+            feats, _ = stem.apply(sp_, bn_state, x, train=False)
+            return -jnp.sum(
+                sm_partial_mll(model, params, state, feats, y, cfg, caches=caches)
+            )
+
+        s_loss, s_grads = jax.value_and_grad(stem_loss)(sp)
+        s_up, st_os = stem_opt.update(s_grads, st_os, sp)
+        sp = optax.apply_updates(sp, s_up)
+
+        feats, _ = stem.apply(sp, bn_state, x, train=False)
+        feats = jax.lax.stop_gradient(feats)
+        state = wiski_condition(model, state, feats, y, jnp.ones_like(y))
+        return (sp, st_os, state, params, caches), s_loss
+
+    def segment_step(carry, inp):
+        params, sp, gp_os, st_os, state = carry
+        xs, ys = inp  # (refresh_every, 1, d), (refresh_every, 1, 1)
+
+        # segment boundary: fresh caches + one GP hyper step
+        caches = wiski_prediction_caches(model, params, state, cfg)
+
+        def gp_loss(p):
+            return -jnp.sum(wiski_mll(model, p, state, cfg_skip))
+
+        g_loss, g_grads = jax.value_and_grad(gp_loss)(params)
+        g_up, gp_os = gp_opt.update(g_grads, gp_os, params)
+        params = optax.apply_updates(params, g_up)
+
+        (sp, st_os, state, _, _), s_losses = jax.lax.scan(
+            point_step, (sp, st_os, state, params, caches), (xs, ys)
+        )
+        return (params, sp, gp_os, st_os, state), (g_loss, s_losses)
+
+    @jax.jit
+    def run(params, sp, state, xs, ys):
+        gp_os = gp_opt.init(params)
+        st_os = stem_opt.init(sp)
+        carry, losses = jax.lax.scan(
+            segment_step, (params, sp, gp_os, st_os, state), (xs, ys)
+        )
+        return carry, losses
+
+    n_seg = 64
+    n = n_seg * refresh_every
+    xs = jax.random.uniform(ky, (n_seg, refresh_every, 1, d), minval=-1, maxval=1)
+    ys = jnp.sin(3 * xs[..., :1])[..., 0, :][..., None, :]
+
+    carry, losses = run(params, stem_params, state, xs, ys)
+    jax.block_until_ready(carry[0]["kernel"]["raw_lengthscale"])
+    # Correctness gate: finite losses, full stream absorbed.
+    for l in jax.tree.leaves(losses):
+        assert bool(jnp.isfinite(jnp.asarray(l)).all()), "non-finite stale-arm losses"
+    assert int(carry[4].num_data) == 256 + n
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, losses = run(params, stem_params, state, xs, ys)
+        _ = float(carry[0]["kernel"]["raw_lengthscale"].ravel()[0])
         best = max(best, n / (time.perf_counter() - t0))
     return best
 

@@ -201,6 +201,10 @@ class OnlineSKILowRankRegression:
 
                 def fn(params, state, f):
                     mean, var = wiski_lowrank_predict(model, params, state, f, cfg)
+                    if var is None:
+                        # skip_posterior_variances: latent covariance is
+                        # short-circuited to zero; observation noise remains
+                        var = jnp.zeros_like(mean)
                     var = var + lowrank_second_noise(params)
                     return mean[:, None], var[:, None]
 
@@ -208,6 +212,8 @@ class OnlineSKILowRankRegression:
 
                 def fn(params, state, f):
                     mean, var = wiski_lowrank_predict_b(model, params, state, f, cfg)
+                    if var is None:
+                        var = jnp.zeros_like(mean)
                     var = var + lowrank_second_noise(params)[:, None]
                     return mean.T, var.T  # (n, B)
 

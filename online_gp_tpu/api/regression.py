@@ -383,6 +383,76 @@ class OnlineSKIRegression:
             )
         return float(s_loss), float(g_loss)
 
+    def hyper_step(self, inputs, targets, update_stem: bool = True, update_gp: bool = True):
+        """One stem + GP hyperparameter step WITHOUT conditioning.
+
+        The fused-stream driver mode (``experiments/regression.py
+        stream_mode=fused``) absorbs observations through
+        :meth:`prequential` and runs the hyper/stem steps only at segment
+        boundaries — this is that boundary step. Same objectives as the
+        per-point :meth:`update` (Sherman-Morrison partial MLL for the
+        stem, Woodbury MLL with skip_logdet_forward for the GP; reference
+        ``online_ski_regression.py:132-162``), applied to the already-
+        absorbed caches; ``inputs/targets`` feed only the stem objective.
+
+        Returns (stem_loss, gp_loss) like :meth:`update`.
+        """
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        targets = jnp.asarray(targets).reshape(-1, self.target_dim)
+        key = ("hyper", inputs.shape[0], update_stem, update_gp)
+        if key not in self._jit_cache:
+            model, cfg, stem = self.model, self.cfg, self.stem
+            cfg_skip = cfg.replace(skip_logdet_forward=True)
+            gp_opt, stem_opt = self.gp_opt, self.stem_opt
+
+            def fn(params, stem_params, bn_state, gp_opt_state, stem_opt_state, state, x, y):
+                def stem_loss(sp):
+                    feats, _ = stem.apply(sp, bn_state, x, train=False)
+                    return -jnp.sum(sm_partial_mll(model, params, state, feats, y, cfg))
+
+                if stem.has_params and update_stem:
+                    s_loss, s_grads = jax.value_and_grad(stem_loss)(stem_params)
+                    s_updates, stem_opt_state = stem_opt.update(s_grads, stem_opt_state, stem_params)
+                    stem_params = optax.apply_updates(stem_params, s_updates)
+                else:
+                    s_loss = jnp.asarray(0.0)
+
+                def gp_loss_fn(p):
+                    slq_key = jax.random.fold_in(
+                        jax.random.PRNGKey(7), state.num_data.astype(jnp.uint32)
+                    )
+                    return -jnp.sum(wiski_mll(model, p, state, cfg_skip, slq_key=slq_key))
+
+                if update_gp:
+                    g_loss, g_grads = jax.value_and_grad(gp_loss_fn)(params)
+                    g_updates, gp_opt_state = gp_opt.update(g_grads, gp_opt_state, params)
+                    params = optax.apply_updates(params, g_updates)
+                else:
+                    g_loss = jnp.asarray(0.0)
+                return params, stem_params, gp_opt_state, stem_opt_state, s_loss, g_loss
+
+            self._jit_cache[key] = jax.jit(fn)
+        (
+            self.params,
+            self.stem_params,
+            self.gp_opt_state,
+            self.stem_opt_state,
+            s_loss,
+            g_loss,
+        ) = self._jit_cache[key](
+            self.params, self.stem_params, self.stem_state,
+            self.gp_opt_state, self.stem_opt_state, self.state, inputs, targets,
+        )
+        if update_gp or (update_stem and self.stem.has_params):
+            self._pred_caches = None  # hypers moved under the caches
+        if update_stem and self.stem.has_params:
+            replay = jnp.asarray(self.buffer.sample(1024))
+            batch = jnp.concatenate([inputs, replay])
+            self.stem_state = self._bn_refresh_fn(inputs.shape[0])(
+                self.stem_params, self.stem_state, batch
+            )
+        return float(s_loss), float(g_loss)
+
     def prequential(self, inputs, targets):
         """Interleaved evaluate-then-update over a stream (conditioning
         only — no hyper/stem steps): for each point, predict from the

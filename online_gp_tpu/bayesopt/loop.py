@@ -21,6 +21,7 @@ import optax
 
 from online_gp_tpu.config import SolverConfig
 from online_gp_tpu.kernels.base import make_kernel
+from online_gp_tpu.kernels.priors import GammaPrior
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.models.wiski import (
     WiskiModel,
@@ -30,7 +31,7 @@ from online_gp_tpu.models.wiski import (
 )
 from online_gp_tpu.bayesopt.test_functions import make_test_function
 from online_gp_tpu.bayesopt import acquisitions as acq
-from online_gp_tpu.bayesopt.optimize import optimize_acqf
+from online_gp_tpu.bayesopt.optimize import optimize_acqf, sobol_raw_init
 
 
 def make_fit_fn(model, cfg, fit_method: str, fit_iters: int, fit_lr: float):
@@ -85,11 +86,48 @@ def make_fit_fn(model, cfg, fit_method: str, fit_iters: int, fit_lr: float):
 
 
 def _normalize(x, bounds):
-    return 2.0 * (x - bounds[:, 0]) / (bounds[:, 1] - bounds[:, 0]) - 1.0
+    """Raw function domain -> unit cube [0, 1]^d (reference
+    ``initialize_random_data``/``optimize_acqf_and_get_observation``
+    train the surrogate on the unit cube, ``bayesopt/utils.py:106-170``)."""
+    return (x - bounds[:, 0]) / (bounds[:, 1] - bounds[:, 0])
 
 
 def _denormalize(u, bounds):
-    return bounds[:, 0] + (u + 1.0) * 0.5 * (bounds[:, 1] - bounds[:, 0])
+    return bounds[:, 0] + u * (bounds[:, 1] - bounds[:, 0])
+
+
+def _make_surrogate(surrogate: str, dim: int, grid_size: int, noise_std: float):
+    """Surrogate spec -> (model, fixed-noise value per observation).
+
+    ``"reference"`` matches the reference BO model: ScaleKernel(Matern-2.5
+    with GammaPrior(3,6) lengthscale, Interval(1e-4,12)) with
+    GammaPrior(2,0.15) / Interval(1e-4,12) outputscale, learnable second
+    noise, and fixed per-point noise ``noise_std**2``
+    (``experiments/bayesopt/bayesopt.py:62,66-75,216-217``; the Matern is
+    the per-dimension product form — the grid-structured family SKI
+    requires). ``"plain"`` is the pre-round-4 arm kept for the A/B:
+    unconstrained RBF, no priors, unit fixed noise.
+    """
+    if surrogate == "reference":
+        kernel = make_kernel("matern52").constrain(
+            lengthscale_bounds=(1e-4, 12.0), outputscale_bounds=(1e-4, 12.0)
+        )
+        priors = (
+            ("raw_lengthscale", GammaPrior(3.0, 6.0)),
+            ("raw_outputscale", GammaPrior(2.0, 0.15)),
+        )
+        noise_value = noise_std**2
+    elif surrogate == "plain":
+        kernel = make_kernel("rbf")
+        priors = None
+        noise_value = 1.0
+    else:
+        raise ValueError(f"unknown surrogate {surrogate!r} (reference/plain)")
+    grid = Grid.create([(-0.05, 1.05)] * dim, grid_size)
+    model = WiskiModel(
+        kernel, grid, num_outputs=1, learn_additional_noise=True, priors=priors
+    )
+    return model, noise_value
 
 
 def run_bayesopt(
@@ -104,6 +142,7 @@ def run_bayesopt(
     fit_iters: int = 50,
     fit_lr: float = 0.05,
     fit_method: str = "adam",
+    surrogate: str = "reference",
     seed: int = 0,
     cfg: SolverConfig = SolverConfig(use_toeplitz=True),
     logger=None,
@@ -129,9 +168,7 @@ def run_bayesopt(
     ``dim``/``grid_size``/``noise_std`` must match the saving run)."""
     fn = make_test_function(function, dim)
     key = jax.random.PRNGKey(seed)
-    kernel = make_kernel("rbf")
-    grid = Grid.create([(-1.1, 1.1)] * dim, grid_size)
-    model = WiskiModel(kernel, grid, num_outputs=1, learn_additional_noise=True)
+    model, noise_value = _make_surrogate(surrogate, dim, grid_size, noise_std)
 
     if resume_from is not None:
         from online_gp_tpu.utils.checkpoint import load_pytree
@@ -145,22 +182,69 @@ def run_bayesopt(
             raise ValueError(
                 f"checkpoint dim {train_u.shape[-1]} != requested dim {dim}"
             )
+        ckpt_surrogate = blob.get("surrogate", "plain")
+        if str(ckpt_surrogate) != surrogate:
+            raise ValueError(
+                f"checkpoint surrogate {ckpt_surrogate!r} != requested {surrogate!r}"
+            )
         key, _ = jax.random.split(jax.random.fold_in(key, train_u.shape[0]))
         best_per_step = [float(v) for v in np.asarray(blob["best_per_step"])]
     else:
         params = model.init_params(dim)
         key, k_init, k_noise = jax.random.split(key, 3)
-        raw_x = jax.random.uniform(k_init, (num_init, dim), minval=-1.0, maxval=1.0)
-        train_u = raw_x
+        train_u = jax.random.uniform(k_init, (num_init, dim))  # unit cube
         train_x = _denormalize(train_u, fn.bounds)
         y, latent = fn.noisy(train_x, k_noise, noise_std)
         y_mean, y_std = jnp.mean(y), jnp.std(y) + 1e-6
         train_y = ((y - y_mean) / y_std)[:, None]
 
-        state = wiski_init(model, train_u, train_y, jnp.ones_like(train_y))
+        state = wiski_init(model, train_u, train_y, noise_value * jnp.ones_like(train_y))
         best_per_step = [float(jnp.max(latent))]
 
     opt, fit = make_fit_fn(model, cfg, fit_method, fit_iters, fit_lr)
+
+    # ONE jitted acquisition-optimization program per campaign: per-step
+    # quantities (beta / best_f / baseline / discretization / PRNG keys /
+    # Sobol starts) enter as traced arguments with fixed shapes, so the
+    # compile happens once instead of once per BO step (the reference
+    # rebuilds its botorch acqf object per step, ``bayesopt.py:193``, but
+    # torch has no retrace cost; under XLA a per-step closure would).
+    unit_bounds = jnp.asarray([[0.0, 1.0]] * dim, jnp.float32)
+    acq_restarts, acq_raw, acq_maxiter = 8, 32, 100
+    nei_baseline_size = 64
+
+    def _opt(fn, k_acq, raw):
+        return optimize_acqf(fn, unit_bounds, q=batch_size, num_restarts=acq_restarts,
+                             raw_samples=acq_raw, maxiter=acq_maxiter, key=k_acq,
+                             raw_init=raw)
+
+    if acqf == "ucb":
+        def _acq_step(params, state, k_acq, scalar, extra, raw):
+            fn = lambda X: acq.q_upper_confidence_bound(model, params, state, X, scalar, k_acq, 128, cfg)
+            return _opt(fn, k_acq, raw)
+    elif acqf == "ei":
+        def _acq_step(params, state, k_acq, scalar, extra, raw):
+            fn = lambda X: acq.q_expected_improvement(model, params, state, X, scalar, k_acq, 128, cfg)
+            return _opt(fn, k_acq, raw)
+    elif acqf == "nei":
+        def _acq_step(params, state, k_acq, scalar, extra, raw):
+            fn = lambda X: acq.q_noisy_expected_improvement(model, params, state, X, extra, k_acq, 128, cfg)
+            return _opt(fn, k_acq, raw)
+    elif acqf == "kg":
+        def _acq_step(params, state, k_acq, scalar, extra, raw):
+            fn = lambda X: acq.q_knowledge_gradient(model, params, state, X, extra, scalar, k_acq, 8, cfg)
+            return _opt(fn, k_acq, raw)
+    elif acqf == "mves":
+        def _acq_step(params, state, k_acq, scalar, extra, raw):
+            fn = lambda X: acq.q_max_value_entropy(
+                model, params, state, X, extra, k_acq, 16, cfg, noise_value=noise_std**2
+            )
+            return _opt(fn, k_acq, raw)
+    else:
+        raise ValueError(f"unknown acquisition {acqf!r} (ucb/ei/nei/kg/mves)")
+    acq_step = jax.jit(_acq_step)
+    _dummy_scalar = jnp.asarray(0.0, jnp.float32)
+    _dummy_extra = jnp.zeros((1, dim), jnp.float32)
 
     records = []
     best_f = jnp.max(train_y)
@@ -171,32 +255,28 @@ def run_bayesopt(
         t_fit = time.time() - t0
 
         key, k_acq, k_eval = jax.random.split(key, 3)
-        unit_bounds = jnp.asarray([[-1.0, 1.0]] * dim, jnp.float32)
+        raw = sobol_raw_init(batch_size, dim, acq_raw, seed * 100003 + step_i)
 
+        scalar, extra = _dummy_scalar, _dummy_extra
         if acqf == "ucb":
-            beta = 0.9**step_i
-            fn_acq = lambda X: acq.q_upper_confidence_bound(model, params, state, X, beta, k_acq, 128, cfg)
-        elif acqf == "ei":
-            fn_acq = lambda X: acq.q_expected_improvement(model, params, state, X, best_f, k_acq, 128, cfg)
-        elif acqf == "nei":
-            fn_acq = lambda X: acq.q_noisy_expected_improvement(model, params, state, X, train_u[-64:], k_acq, 128, cfg)
+            scalar = jnp.asarray(0.9**step_i, jnp.float32)
+        elif acqf in ("ei", "kg"):
+            scalar = best_f
+        if acqf == "nei":
+            # fixed-size recent-observation baseline (wrap-pad below 64
+            # points so the jitted program's shapes never change)
+            base = np.asarray(train_u)[-nei_baseline_size:]
+            reps = -(-nei_baseline_size // len(base))
+            extra = jnp.asarray(np.concatenate([base] * reps)[:nei_baseline_size])
         elif acqf == "kg":
             key, k_disc = jax.random.split(key)
-            disc = jax.random.uniform(k_disc, (256, dim), minval=-1.0, maxval=1.0)
-            fn_acq = lambda X: acq.q_knowledge_gradient(model, params, state, X, disc, best_f, k_acq, 8, cfg)
+            extra = jax.random.uniform(k_disc, (256, dim))
         elif acqf == "mves":
             key, k_disc = jax.random.split(key)
-            cand = jax.random.uniform(k_disc, (512, dim), minval=-1.0, maxval=1.0)
-            fn_acq = lambda X: acq.q_max_value_entropy(
-                model, params, state, X, cand, k_acq, 16, cfg,
-                noise_value=noise_std**2,
-            )
-        else:
-            raise ValueError(f"unknown acquisition {acqf!r} (ucb/ei/nei/kg/mves)")
+            extra = jax.random.uniform(k_disc, (512, dim))
 
         t0 = time.time()
-        cand_u, acq_val = optimize_acqf(fn_acq, unit_bounds, q=batch_size, num_restarts=8,
-                                        raw_samples=32, maxiter=100, key=k_acq)
+        cand_u, acq_val = acq_step(params, state, k_acq, scalar, extra, raw)
         t_acq = time.time() - t0
 
         cand_x = _denormalize(cand_u, fn.bounds)
@@ -204,7 +284,9 @@ def run_bayesopt(
         y_std_new = ((y_new - y_mean) / y_std)[:, None]
 
         t0 = time.time()
-        state = wiski_condition(model, state, cand_u, y_std_new, jnp.ones_like(y_std_new))
+        state = wiski_condition(
+            model, state, cand_u, y_std_new, noise_value * jnp.ones_like(y_std_new)
+        )
         jax.block_until_ready(state.roots.root)
         t_cond = time.time() - t0
 
@@ -229,6 +311,7 @@ def run_bayesopt(
             params=params, state=state, train_u=train_u, train_y=train_y,
             y_mean=y_mean, y_std=y_std, latent=latent,
             best_per_step=jnp.asarray(best_per_step),
+            surrogate=surrogate,
         ))
 
     return dict(best_per_step=best_per_step, records=records, optimal=fn.optimal_value,

@@ -18,6 +18,24 @@ import numpy as np
 import optax
 
 
+def sobol_raw_init(q: int, d: int, raw_samples: int, seed: int) -> jnp.ndarray:
+    """Host-side low-discrepancy raw starts for :func:`optimize_acqf`.
+
+    (raw_samples, q, d) in (0.02, 0.98) — scipy Sobol when present (the
+    reference's SobolQMCNormalSampler habit), IID uniform otherwise.
+    Generated OUTSIDE jit so a jitted acquisition-optimization step can
+    take it as a plain traced argument (no per-step retrace)."""
+    try:
+        from scipy.stats import qmc
+
+        sob = qmc.Sobol(q * d, scramble=True, seed=seed)
+        n_pow2 = 1 << max(int(np.ceil(np.log2(max(raw_samples, 1)))), 0)
+        raw = np.asarray(sob.random_base2(int(np.log2(n_pow2)))[:raw_samples], np.float32)
+    except Exception:
+        raw = np.random.default_rng(seed).uniform(size=(raw_samples, q * d)).astype(np.float32)
+    return jnp.asarray(0.02 + 0.96 * raw.reshape(raw_samples, q, d))
+
+
 def optimize_acqf(
     acqf: Callable[[jnp.ndarray], jnp.ndarray],
     bounds: jnp.ndarray,
@@ -28,6 +46,7 @@ def optimize_acqf(
     lr: float = 0.05,
     key=None,
     method: str = "adam",
+    raw_init=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Maximize a q-batch acquisition over box bounds.
 
@@ -40,6 +59,10 @@ def optimize_acqf(
         space; botorch's ``optimize_acqf`` likewise runs scipy L-BFGS-B
         on its restarts). L-BFGS converges in far fewer steps on smooth
         acquisitions; Adam is more robust on noisy MC acquisitions.
+      raw_init: optional (raw_samples, q, d) starts in (0, 1) from
+        :func:`sobol_raw_init` — pass it when calling under ``jax.jit``
+        (the Sobol generator is host-side); defaults to Sobol/uniform
+        generated here.
 
     Returns:
       best candidates (q, d), best acquisition value.
@@ -52,18 +75,16 @@ def optimize_acqf(
         return lo + (hi - lo) * jax.nn.sigmoid(t)
 
     # initialization heuristic: score raw samples, take the best as starts.
-    # Low-discrepancy Sobol initialization when scipy is present (the
-    # reference's SobolQMCNormalSampler habit), IID uniform otherwise.
     k1, k2 = jax.random.split(key)
-    try:
-        from scipy.stats import qmc
-
-        sob = qmc.Sobol(q * d, scramble=True, seed=int(jax.random.randint(k1, (), 0, 2**31 - 1)))
-        n_pow2 = 1 << max(int(np.ceil(np.log2(max(raw_samples, 1)))), 0)
-        raw = jnp.asarray(sob.random_base2(int(np.log2(n_pow2)))[:raw_samples], jnp.float32)
-        raw = 0.02 + 0.96 * raw.reshape(raw_samples, q, d)
-    except Exception:
+    if raw_init is not None:
+        raw = raw_init
+    elif isinstance(key, jax.core.Tracer):
+        # under jit without explicit starts: host Sobol is unavailable
         raw = jax.random.uniform(k1, (raw_samples, q, d), minval=0.02, maxval=0.98)
+    else:
+        raw = sobol_raw_init(
+            q, d, raw_samples, int(jax.random.randint(k1, (), 0, 2**31 - 1))
+        )
     raw_x = lo + (hi - lo) * raw
     raw_vals = jax.vmap(acqf)(raw_x)
     top = jnp.argsort(-raw_vals)[:num_restarts]

@@ -77,6 +77,10 @@ DEFAULTS: Dict[str, Any] = dict(
     log_dir="logs",
     subsample_ratio=1.0,
     max_stream=None,  # optional cap on streamed points
+    # "step": reference-faithful per-chunk evaluate->update loop;
+    # "fused": blocked prequential engine per logging segment with
+    # hyper/stem steps at segment boundaries (WISKI dense core only)
+    stream_mode="step",
     # reference config/logger/{local,s3}.yaml: local DataFrame logger or
     # the S3 sink (bucket + key prefix); override with logger.name=s3
     logger=dict(name="local", bucket_name="online-gp-tpu", prefix="",

@@ -6,6 +6,8 @@ SURVEY.md §2.9) as pure functions over parameter pytrees.
 """
 
 from online_gp_tpu.kernels.base import (
+    ExpTransform,
+    IntervalTransform,
     Kernel,
     RBFKernel,
     MaternKernel,
@@ -16,6 +18,8 @@ from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense, grid_kuu_factors, 
 from online_gp_tpu.kernels.priors import GammaPrior, log_prior_sum
 
 __all__ = [
+    "ExpTransform",
+    "IntervalTransform",
     "Kernel",
     "SpectralMixtureKernel",
     "sm_init_from_data",

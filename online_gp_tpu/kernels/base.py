@@ -2,9 +2,14 @@
 
 Design notes (TPU-first, not a gpytorch translation):
 
-- Parameters are plain dicts of raw (log-space) arrays; positivity is via
-  ``exp`` — a static reparametrization instead of gpytorch's constraint
-  objects.
+- Parameters are plain dicts of raw arrays; positivity is via a static
+  reparametrization instead of gpytorch's constraint objects — ``exp``
+  (unbounded, the default) or a sigmoid interval (``IntervalTransform``,
+  the analog of gpytorch's ``Interval(lower, upper)`` used by the
+  reference's BO/AL surrogates, ``experiments/bayesopt/bayesopt.py:66-75``).
+  ``kernel.constrain(lengthscale_bounds=…, outputscale_bounds=…)`` swaps
+  the reparam; everything downstream reads constrained values through
+  ``kernel.lengthscale(params)`` / ``kernel.outputscale(params)``.
 - Every kernel here is a *product* kernel across input dimensions
   multiplied by an output scale. That is exactly the family gpytorch's
   grid kernels exploit for Kronecker structure, and is what the reference
@@ -23,8 +28,9 @@ Parameters:
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Params = Dict[str, jnp.ndarray]
@@ -33,10 +39,70 @@ _SQRT3 = math.sqrt(3.0)
 _SQRT5 = math.sqrt(5.0)
 
 
+class ExpTransform(NamedTuple):
+    """Unbounded positivity reparam: constrained = exp(raw) (the default)."""
+
+    def forward(self, raw: jnp.ndarray) -> jnp.ndarray:
+        return jnp.exp(raw)
+
+    def inverse(self, value: float) -> float:
+        return math.log(value)
+
+
+class IntervalTransform(NamedTuple):
+    """Bounded reparam: constrained = lower + (upper-lower)*sigmoid(raw).
+
+    The sigmoid-interval transform of gpytorch's ``Interval`` constraint —
+    the reference's BO/AL surrogates bound lengthscale/outputscale with
+    ``Interval(1e-4, 12.0)`` (``experiments/bayesopt/bayesopt.py:66-75``).
+    """
+
+    lower: float
+    upper: float
+
+    def forward(self, raw: jnp.ndarray) -> jnp.ndarray:
+        return self.lower + (self.upper - self.lower) * jax.nn.sigmoid(raw)
+
+    def inverse(self, value: float) -> float:
+        u = (value - self.lower) / (self.upper - self.lower)
+        if not 0.0 < u < 1.0:
+            raise ValueError(
+                f"init value {value} outside interval ({self.lower}, {self.upper})"
+            )
+        return math.log(u) - math.log1p(-u)
+
+
 class Kernel:
     """Stationary product kernel: k(x, z) = s^2 * prod_d k_d(|x_d - z_d| / l_d)."""
 
     name = "base"
+
+    def __init__(self):
+        # raw-param name -> reparameterization; exp (unbounded) by default
+        self.transforms = {
+            "raw_lengthscale": ExpTransform(),
+            "raw_outputscale": ExpTransform(),
+        }
+
+    def constrain(
+        self,
+        lengthscale_bounds: Optional[Tuple[float, float]] = None,
+        outputscale_bounds: Optional[Tuple[float, float]] = None,
+    ) -> "Kernel":
+        """Bound hyperparameters to an interval (returns self for chaining)."""
+        if lengthscale_bounds is not None:
+            self.transforms["raw_lengthscale"] = IntervalTransform(*lengthscale_bounds)
+        if outputscale_bounds is not None:
+            self.transforms["raw_outputscale"] = IntervalTransform(*outputscale_bounds)
+        return self
+
+    def lengthscale(self, params: Params) -> jnp.ndarray:
+        """Constrained lengthscales (..., D)."""
+        return self.transforms["raw_lengthscale"].forward(params["raw_lengthscale"])
+
+    def outputscale(self, params: Params) -> jnp.ndarray:
+        """Constrained output scale (...,)."""
+        return self.transforms["raw_outputscale"].forward(params["raw_outputscale"])
 
     def init_params(
         self,
@@ -46,9 +112,11 @@ class Kernel:
         outputscale: float = 1.0,
         dtype=jnp.float32,
     ) -> Params:
+        raw_ls = self.transforms["raw_lengthscale"].inverse(lengthscale)
+        raw_os = self.transforms["raw_outputscale"].inverse(outputscale)
         return {
-            "raw_lengthscale": jnp.full(tuple(batch_shape) + (num_dims,), math.log(lengthscale), dtype),
-            "raw_outputscale": jnp.full(tuple(batch_shape), math.log(outputscale), dtype),
+            "raw_lengthscale": jnp.full(tuple(batch_shape) + (num_dims,), raw_ls, dtype),
+            "raw_outputscale": jnp.full(tuple(batch_shape), raw_os, dtype),
         }
 
     # -- per-dimension profile --------------------------------------------
@@ -68,8 +136,8 @@ class Kernel:
         Returns:
           (..., n1, n2) with ... the params' batch shape.
         """
-        ls = jnp.exp(params["raw_lengthscale"])  # (..., D)
-        scale = jnp.exp(params["raw_outputscale"])  # (...,)
+        ls = self.lengthscale(params)  # (..., D)
+        scale = self.outputscale(params)  # (...,)
         diff = x1[:, None, :] - x2[None, :, :]  # (n1, n2, D)
         r = jnp.abs(diff) / ls[..., None, None, :]  # (..., n1, n2, D)
         k = jnp.prod(self.profile(r), axis=-1)
@@ -77,20 +145,20 @@ class Kernel:
 
     def factor_1d(self, params: Params, d: int, g: jnp.ndarray, include_scale: bool) -> jnp.ndarray:
         """Per-dimension grid factor T_d = k_d(g, g) — (..., m_d, m_d)."""
-        ls = jnp.exp(params["raw_lengthscale"][..., d])  # (...,)
+        ls = self.lengthscale(params)[..., d]  # (...,)
         r = jnp.abs(g[:, None] - g[None, :]) / ls[..., None, None]
         t = self.profile(r)
         if include_scale:
-            t = jnp.exp(params["raw_outputscale"])[..., None, None] * t
+            t = self.outputscale(params)[..., None, None] * t
         return t
 
     def factor_col(self, params: Params, d: int, g: jnp.ndarray, include_scale: bool) -> jnp.ndarray:
         """First column of the (Toeplitz) grid factor — (..., m_d)."""
-        ls = jnp.exp(params["raw_lengthscale"][..., d])
+        ls = self.lengthscale(params)[..., d]
         r = jnp.abs(g - g[0]) / ls[..., None]
         c = self.profile(r)
         if include_scale:
-            c = jnp.exp(params["raw_outputscale"])[..., None] * c
+            c = self.outputscale(params)[..., None] * c
         return c
 
 
@@ -114,6 +182,7 @@ class MaternKernel(Kernel):
     name = "matern"
 
     def __init__(self, nu: float = 2.5):
+        super().__init__()
         if nu not in (0.5, 1.5, 2.5):
             raise ValueError(f"unsupported nu={nu}")
         self.nu = nu
@@ -139,6 +208,7 @@ class RadialMaternKernel(Kernel):
     name = "radial_matern"
 
     def __init__(self, nu: float = 2.5):
+        super().__init__()
         if nu not in (0.5, 1.5, 2.5):
             raise ValueError(f"unsupported nu={nu}")
         self.nu = nu
@@ -147,8 +217,8 @@ class RadialMaternKernel(Kernel):
         raise NotImplementedError("radial kernel has no per-dim profile")
 
     def matrix(self, params: Params, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-        ls = jnp.exp(params["raw_lengthscale"])
-        scale = jnp.exp(params["raw_outputscale"])
+        ls = self.lengthscale(params)
+        scale = self.outputscale(params)
         diff = (x1[:, None, :] - x2[None, :, :]) / ls[..., None, None, :]
         r2 = jnp.sum(diff * diff, axis=-1)
         r = jnp.sqrt(jnp.maximum(r2, 1e-30))

@@ -41,17 +41,25 @@ class NormalPrior(NamedTuple):
         return -0.5 * z * z - jnp.log(jnp.asarray(self.scale, x.dtype)) - 0.9189385332046727
 
 
-def log_prior_sum(priors: Optional[Dict[str, object]], params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def log_prior_sum(
+    priors: Optional[Dict[str, object]],
+    params: Dict[str, jnp.ndarray],
+    transforms: Optional[Dict[str, object]] = None,
+) -> jnp.ndarray:
     """Sum prior log-probs over named params.
 
     ``priors`` maps a raw-param name (e.g. ``raw_lengthscale``) to a prior
-    evaluated on exp(raw) — mirroring constrained-space priors in the
-    reference.
+    evaluated on the *constrained* value — mirroring constrained-space
+    priors in the reference. ``transforms`` (the kernel's raw→constrained
+    reparam map, see :class:`online_gp_tpu.kernels.base.Kernel`) defaults
+    to exp for every param when absent.
     """
     total = jnp.asarray(0.0)
     if not priors:
         return total
     for name, prior in priors.items():
         raw = params[name]
-        total = total + jnp.sum(prior.log_prob(jnp.exp(raw)))
+        tf = transforms.get(name) if transforms else None
+        value = tf.forward(raw) if tf is not None else jnp.exp(raw)
+        total = total + jnp.sum(prior.log_prob(value))
     return total

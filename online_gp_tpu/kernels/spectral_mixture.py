@@ -37,6 +37,7 @@ class SpectralMixtureKernel(Kernel):
     name = "spectral_mixture"
 
     def __init__(self, num_mixtures: int = 3):
+        super().__init__()
         if num_mixtures < 1:
             raise ValueError("num_mixtures must be >= 1")
         self.num_mixtures = num_mixtures

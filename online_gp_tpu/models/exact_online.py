@@ -132,7 +132,7 @@ def exact_gp_posterior(
     alpha = cho_solve(L, ym)  # (B, cap, 1)
     mean = (Kxt @ alpha)[..., 0]
     v = tri_solve(L, Kxt.swapaxes(-1, -2))  # (B, cap, t)
-    kdiag = jnp.exp(params["kernel"]["raw_outputscale"])[:, None] * jnp.ones(
+    kdiag = model.kernel.outputscale(params["kernel"])[:, None] * jnp.ones(
         (1, xt.shape[0]), xt.dtype
     )
     var = kdiag - jnp.sum(v * v, axis=-2)

@@ -170,7 +170,7 @@ def localgp_predict(
     Kxt = Kxt * state.mask[:, None, :]  # (E, n, cap)
     means = (Kxt @ alpha)[..., 0]  # (E, n)
     v = tri_solve(L, Kxt.swapaxes(-1, -2))  # (E, cap, n)
-    kdiag = jnp.exp(params["kernel"]["raw_outputscale"]) * jnp.ones((1, xt.shape[0]), xt.dtype)
+    kdiag = model.kernel.outputscale(params["kernel"]) * jnp.ones((1, xt.shape[0]), xt.dtype)
     fvar = jnp.maximum(kdiag - jnp.sum(v * v, axis=-2), 1e-12)
     yvar = fvar + jnp.exp(params["raw_noise"])  # likelihood-added variance
 

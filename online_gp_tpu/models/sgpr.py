@@ -195,7 +195,7 @@ def sgpr_predict(model: SGPRModel, params: Dict, moments: SGPRMoments, x: jnp.nd
     half = tri_solve(Lz, Kxz.T)
     Ls = jnp.tril(moments.var_chol)
     SA = Ls.T @ A
-    kxx_diag = jnp.exp(params["kernel"]["raw_outputscale"]) * jnp.ones(x.shape[0], x.dtype)
+    kxx_diag = model.kernel.outputscale(params["kernel"]) * jnp.ones(x.shape[0], x.dtype)
     var = kxx_diag - jnp.sum(half * half, axis=0) + jnp.sum(SA * SA, axis=0)
     return mean, jnp.maximum(var, 1e-10)
 
@@ -224,7 +224,7 @@ def sgpr_bound(
     Lb = psd_safe_cholesky(Kbb, jitter=jitter)
     Q1 = Kbf.T @ cho_solve(Lb, Kbf)
 
-    kff_diag = jnp.exp(params["kernel"]["raw_outputscale"]) * jnp.ones(n, x.dtype)
+    kff_diag = model.kernel.outputscale(params["kernel"]) * jnp.ones(n, x.dtype)
     t1 = jnp.sum(kff_diag - jnp.diagonal(Q1)) / sigma2
 
     def logprob(cov, resid):

@@ -123,7 +123,7 @@ def svgp_predict(
         Kxx = model.kernel.matrix(params["kernel"], x, x)
         cov = Kxx - half.T @ half + A.T @ SA
         return mean, cov
-    kxx_diag = jnp.exp(params["kernel"]["raw_outputscale"]) * jnp.ones(x.shape[0], x.dtype)
+    kxx_diag = model.kernel.outputscale(params["kernel"]) * jnp.ones(x.shape[0], x.dtype)
     var = kxx_diag - jnp.sum(half * half, axis=0) + jnp.sum(A * SA, axis=0)
     return mean, jnp.maximum(var, 1e-10)
 

@@ -592,40 +592,6 @@ def _q_factor(model: WiskiModel, params: Dict, state: WiskiState,
         return Kuu, KuuL, Lq, Kuu_wty, proj
 
 
-def _kuu_mvm_b(model: WiskiModel, params: Dict, b: int, cfg: SolverConfig):
-    """Per-output structured MVM by Kuu_eff[b]: (m, k) -> (m, k).
-
-    Under ``use_toeplitz`` the product rides the Kronecker-of-Toeplitz FFT
-    path (never materializing the m x m matrix); otherwise a dense matmul.
-    """
-    kp_b = jax.tree.map(lambda a: a[b], params["kernel"])
-    s2 = _second_noise(model, params)
-    if cfg.use_toeplitz:
-        def mvm(x):
-            out = grid_kuu_mvm(model.kernel, kp_b, model.grid, x, use_toeplitz=True)
-            return out / s2[b] if s2 is not None else out
-    else:
-        Kuu_b = grid_kuu_dense(model.kernel, kp_b, model.grid)
-        if s2 is not None:
-            Kuu_b = Kuu_b / s2[b]
-
-        def mvm(x):
-            return Kuu_b @ x
-
-    return mvm
-
-
-def _q_mvm_b(model: WiskiModel, params: Dict, state: WiskiState, b: int, cfg: SolverConfig):
-    """Per-output MVM by Q[b] = I + L^T Kuu_eff L: (m, k) -> (m, k)."""
-    kuu_mvm = _kuu_mvm_b(model, params, b, cfg)
-    L = state.roots.root[b]
-
-    def mvm(v):
-        return v + L.T @ kuu_mvm(L @ v)
-
-    return mvm
-
-
 def _mll_inner_iterative(
     model: WiskiModel, params: Dict, state: WiskiState, cfg: SolverConfig,
     key: Optional[jnp.ndarray] = None,
@@ -772,7 +738,9 @@ def wiski_mll(
 
     res = -0.5 * (quad + logdet + final)
     if model.priors:
-        res = res + log_prior_sum(dict(model.priors), params["kernel"])
+        res = res + log_prior_sum(
+            dict(model.priors), params["kernel"], model.kernel.transforms
+        )
     return res / n
 
 
@@ -809,18 +777,39 @@ def wiski_prediction_caches(
             # Lanczos inverse root Rq of Q (Q^{-1} ~= Rq Rq^T), so
             # cov ~= Kuu - (KuuL Rq)(KuuL Rq)^T. Krylov start vector = proj
             # (the direction the predictive mean already solves along).
-            roots = []
-            for b in range(model.num_outputs):
-                q_mvm = _q_mvm_b(model, params, state, b, cfg)
-                Qlan, alphas, betas = lanczos(
-                    lambda v: q_mvm(v[:, None])[:, 0], proj[b, :, 0], k
-                )
+            # Vmapped over outputs — a B-class Dirichlet model compiles ONE
+            # Lanczos program, not B.
+            s2 = _second_noise(model, params)
+            s2_arr = jnp.ones((model.num_outputs,), Lq.dtype) if s2 is None else s2
+
+            def one_output_root(kp_b, s2_b, L_b, proj_b, KuuL_b):
+                if cfg.use_toeplitz:
+                    def kuu_mvm(x):
+                        return (
+                            grid_kuu_mvm(
+                                model.kernel, kp_b, model.grid, x, use_toeplitz=True
+                            )
+                            / s2_b
+                        )
+                else:
+                    Kuu_b = grid_kuu_dense(model.kernel, kp_b, model.grid) / s2_b
+
+                    def kuu_mvm(x):
+                        return Kuu_b @ x
+
+                def q_mvm(v):
+                    return v + L_b.T @ kuu_mvm(L_b @ v[:, None])[:, 0]
+
+                Qlan, alphas, betas = lanczos(q_mvm, proj_b[:, 0], k)
                 T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
                 evals, evecs = jnp.linalg.eigh(T)
                 evals = jnp.maximum(evals, 1e-10)
                 Rq = Qlan.T @ (evecs / jnp.sqrt(evals)[None, :])  # (m, k)
-                roots.append(KuuL[b] @ Rq)
-            R = jnp.stack(roots)  # (B, m, k)
+                return KuuL_b @ Rq
+
+            R = jax.vmap(one_output_root)(
+                params["kernel"], s2_arr, state.roots.root, proj, KuuL
+            )  # (B, m, k)
             cov_cache = Kuu - jnp.einsum("bik,bjk->bij", R, R)
         else:
             # exact path; R = Lq^{-1} (KuuL)^T is the same LOVE root at
@@ -900,10 +889,10 @@ def wiski_predict_root(
     k = min(m, cfg.max_root_decomposition_size)
     if k < m:
         v0 = jax.random.normal(jax.random.PRNGKey(0), (m,), cov_cache.dtype)
-        cov_root = jnp.stack(
-            [lanczos_root(lambda v: cov_cache[b] @ v, v0, k)
-             for b in range(model.num_outputs)]
-        )  # (B, m, k)
+        # vmapped over outputs: one compiled Lanczos regardless of B
+        cov_root = jax.vmap(
+            lambda C: lanczos_root(lambda v: C @ v, v0, k)
+        )(cov_cache)  # (B, m, k)
     else:
         cov_root = psd_safe_cholesky(
             cov_cache, jitter=cfg.cholesky_jitter, tries=cfg.max_cholesky_jitter_tries

@@ -143,6 +143,13 @@ def wiski_lowrank_init(
     :func:`wiski_lowrank_condition`.
     """
     del key  # deterministic init — kept for call-site compatibility
+    if model.k_buf <= model.rank:
+        raise ValueError(
+            f"buffer_cols ({model.k_buf}) must exceed rank ({model.rank}): "
+            "the buffer needs headroom past the compression target to "
+            "absorb data (a zero/negative absorb step would silently "
+            "ingest nothing)"
+        )
     m = model.grid.num_points
     y = y.reshape(-1, 1)
     noise = noise.reshape(-1, 1)
@@ -300,7 +307,9 @@ def wiski_lowrank_mll(
             final = final + n * jnp.log(s2)
         res = -0.5 * (quad + logdet + final)
         if model.priors:
-            res = res + log_prior_sum(dict(model.priors), params["kernel"])
+            res = res + log_prior_sum(
+                dict(model.priors), params["kernel"], model.kernel.transforms
+            )
         return res / n
 
 

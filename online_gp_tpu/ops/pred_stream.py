@@ -44,16 +44,23 @@ from online_gp_tpu.ops.root_update import pad_and_chunk_stream, stencil_rows
 
 
 def pred_chunk_fits_vmem(m: int, k: int) -> bool:
-    """Conservative admissibility of the fused pred-chunk kernel: its
-    scoped-VMEM footprint (2 (k, m) scratch factors, the (k, m) stencil
-    block, the VMEM-resident (m, m) covariance cache, pipelined C row
-    tiles) must stay under the TPU's 16 MB scoped limit or compilation
-    fails. Measured compile outcomes on v5e (both the plain and the
-    batched variant): OK at (m,k) = (900, 128..384), (1024, 128),
-    (1152, 128), (1280, 128); OOM at (1280, 192) 16.05 MB and
-    (1408, 128) 16.19 MB. The auto dispatch admits only the measured-good
-    region; callers can force the kernel with ``use_pallas=True``."""
-    return (k <= 128 and m <= 1280) or (k <= 384 and m <= 900)
+    """Admissibility of the fused pred-chunk kernel, from a calibrated
+    scoped-VMEM estimate against the DETECTED core budget
+    (:mod:`online_gp_tpu.ops.vmem`).
+
+    The kernel's scoped footprint (2 (k, m) scratch factors, the (k, m)
+    stencil block, the VMEM-resident (m, m) covariance cache, pipelined C
+    row tiles) must stay under the core's scoped limit or compilation
+    fails. The affine model below is FIT THROUGH the v5e-measured OOM
+    report sizes — (1280, 192) 16.05 MB, (1408, 128) 16.19 MB — and
+    reproduces every measured admit/reject outcome at the 16 MB threshold
+    (OK: (900, 128..384), (1024..1280, 128); table in
+    ``tests/ops/test_vmem_gate.py``), so on a 16 MB part the gate equals
+    the measured v5e table and on other budgets it scales. Callers can
+    force the kernel with ``use_pallas=True``."""
+    from online_gp_tpu.ops.vmem import affine_footprint_mb, vmem_limit_mb
+
+    return affine_footprint_mb(m, k, 5.241, 25.37, 1.227) <= vmem_limit_mb()
 
 
 def pred_chunk_xla(

@@ -229,26 +229,29 @@ def pad_and_chunk_stream(idx: jnp.ndarray, wv: jnp.ndarray, block: int):
 
 
 def fused_chunk_fits_vmem(m: int, k: int) -> bool:
-    """Conservative admissibility of the fused blocked chunk kernel.
+    """Admissibility of the fused blocked chunk kernel, from a calibrated
+    scoped-VMEM estimate against the DETECTED core budget
+    (:mod:`online_gp_tpu.ops.vmem`).
 
-    The kernel's scoped-VMEM footprint (4 (k, m) scratch factors, the
-    (k, m) stencil block, the VMEM-resident (m, m) inverse root, and the
-    pipelined L/B row tiles) must stay under the TPU's 16 MB scoped limit
-    or compilation fails ("Ran out of memory in memory space vmem ... on
-    stack"). Measured on v5e the limit is CONTEXT-DEPENDENT — e.g.
-    (m=900, k=256) compiles inside a ``lax.scan`` body but OOMs at
-    17.62 MB as a standalone jit, and no affine model in (k*m, m^2, m)
-    fits the measured allocations — so the auto dispatch admits only the
-    region that compiled in EVERY measured context:
+    The kernel's scoped footprint (4 (k, m) scratch factors, the (k, m)
+    stencil block, the VMEM-resident (m, m) inverse root, and the
+    pipelined L/B row tiles) must stay under the core's scoped limit or
+    compilation fails ("Ran out of memory in memory space vmem ... on
+    stack"). The affine model below is FIT THROUGH the v5e-measured OOM
+    report sizes — (1216, 128) 16.20 MB, (1280, 128) 17.14 MB, (900, 192)
+    16.31 MB standalone — and reproduces every measured admit/reject
+    outcome at the 16 MB threshold (OK: (900..1152, 128), (960, 160);
+    OOM additionally: (900, 256) 17.62 MB, (1024, 160) 16.14 MB,
+    (1536, 128) 18.75 MB; table in ``tests/ops/test_vmem_gate.py``). On a
+    16 MB part the gate therefore equals the measured v5e table; on other
+    budgets it scales. The compiler's accounting is context-dependent
+    ((900, 256) compiles in-scan but OOMs standalone) — the calibration
+    uses the strictest (standalone) context, so the gate may be MORE
+    conservative than a given call site allows; callers that know their
+    context can still force the kernel with ``use_pallas=True``."""
+    from online_gp_tpu.ops.vmem import affine_footprint_mb, vmem_limit_mb
 
-      OK everywhere: k <= 128 with m <= 1152 (30^2/32^2/33^2 grids).
-      Measured OOMs: (1216, 128) 16.20 MB, (1280, 128) 17.14 MB,
-      (900, 192) 16.31 MB standalone, (900, 512) 20.36 MB in-scan.
-
-    The old gate (``m <= 1280``, any k) admitted (1280, 128), which fails
-    on real hardware. Callers that know their context can still force the
-    kernel with ``use_pallas=True``."""
-    return k <= 128 and m <= 1152
+    return affine_footprint_mb(m, k, 1.852, 78.6, 1.227) <= vmem_limit_mb()
 
 
 def roots_stream_blocked(

@@ -173,7 +173,15 @@ def load_pytree(path: str, like: Optional[Any] = None) -> Any:
         leaves = [jnp.asarray(arrays[f"leaf_{i}"]) for i in range(len(arrays))]
     else:
         npz = np.load(_npz_path(path))
-        leaves = [jnp.asarray(npz[f"leaf_{i}"]) for i in range(len(npz.files))]
+
+        def _leaf(arr):
+            # string/metadata leaves (e.g. a surrogate tag) round-trip as
+            # python values — jax arrays are numeric-only
+            if arr.dtype.kind in ("U", "S"):
+                return str(arr.item()) if arr.ndim == 0 else arr
+            return jnp.asarray(arr)
+
+        leaves = [_leaf(npz[f"leaf_{i}"]) for i in range(len(npz.files))]
 
     if like is not None:
         like_leaves, treedef = jax.tree.flatten(like)

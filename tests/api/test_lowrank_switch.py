@@ -60,8 +60,13 @@ def test_multi_output_lowrank_stream():
     assert isinstance(w, OnlineSKILowRankRegression)
     assert w.target_dim == 2
     w.fit(x, y, num_epochs=20)
-    for i in range(0, 32, 4):
+    # stream PAST the root buffer (96 seed + 64 > k_buf = 128 at rank 64)
+    # so the vmapped kernel-aware compress path (lax.cond under vmap with
+    # per-output batched params) actually fires (ADVICE r3 item 2)
+    for i in range(0, 64, 4):
         w.update(x[i : i + 4], y[i : i + 4])
+    assert int(jnp.max(w.state.num_data)) == 96 + 64
+    assert int(jnp.max(w.state.used)) <= w.model.k_buf
     mean, var = w.predict(x[:16])
     assert mean.shape == (16, 2) and var.shape == (16, 2)
     assert bool(jnp.isfinite(mean).all()) and bool((var > 0).all())

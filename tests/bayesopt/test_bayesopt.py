@@ -264,14 +264,13 @@ def test_bayesopt_lbfgs_loop_and_checkpoint(tmp_path):
     assert out["best_per_step"][-1] >= out["best_per_step"][0]
 
     blob = load_pytree(ckpt)
-    assert set(blob) >= {"params", "state", "train_u", "train_y"}
-    # the restored surrogate predicts finitely at the queried points
-    from online_gp_tpu.kernels.base import make_kernel
-    from online_gp_tpu.models.wiski import WiskiModel, wiski_predict
+    assert set(blob) >= {"params", "state", "train_u", "train_y", "surrogate"}
+    # the restored surrogate predicts finitely at the queried points,
+    # rebuilt through the loop's own surrogate spec
+    from online_gp_tpu.bayesopt.loop import _make_surrogate
+    from online_gp_tpu.models.wiski import wiski_predict
 
-    grid = Grid.create([(-1.1, 1.1)] * 2, 8)
-    model = WiskiModel(make_kernel("rbf"), grid, num_outputs=1,
-                       learn_additional_noise=True)
+    model, _ = _make_surrogate(str(blob["surrogate"]), 2, 8, 0.1)
     mean, var = wiski_predict(model, blob["params"], blob["state"], blob["train_u"])
     assert bool(jnp.isfinite(mean).all() & jnp.isfinite(var).all())
 

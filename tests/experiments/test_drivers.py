@@ -134,3 +134,71 @@ def test_classification_driver_end_to_end(tmp_path):
                           update_stem=False)
     assert np.isfinite(gl)
     assert np.isfinite(fresh.evaluate(test_x, test_y))
+
+
+def test_regression_driver_fused_stream(tmp_path):
+    """``stream_mode=fused`` runs the blocked prequential engine inside the
+    driver (VERDICT r3 item 2): same ``online_metrics`` schema plus a
+    measured ``points_per_sec``, finite outputs."""
+    from online_gp_tpu.experiments.regression import regression_trial
+
+    cfg = parse_config([
+        "model=wiski_gp_regression", "dataset=friedman", "stem=linear",
+        "num_batch_epochs=5", "logging_freq=20", "max_stream=80",
+        "stream_mode=fused", f"log_dir={tmp_path}", "dataset.input_dim=2",
+    ])
+    out = regression_trial(cfg)
+    assert np.isfinite(out["test_rmse"])
+    path = os.path.join(out["log_dir"], "online_metrics.csv")
+    header = open(path).readline().strip().split(",")
+    for col in ("stem_loss", "gp_loss", "online_rmse", "batch_rmse", "regret",
+                "test_rmse", "test_nll", "noise", "step_time", "points_per_sec"):
+        assert col in header, col
+    rows = open(path).read().strip().splitlines()[1:]
+    assert len(rows) >= 2
+    pps = float(rows[-1].split(",")[header.index("points_per_sec")])
+    assert pps > 0
+
+
+def test_fused_stream_matches_per_step_loop():
+    """With hyper/stem movement disabled, the fused prequential engine's
+    per-point moments equal the per-chunk evaluate->condition loop's
+    (the conditioning math is identical; only the dispatch granularity
+    differs). VERDICT r3 item 2 'matching per-point metrics on a prefix'."""
+    import jax.numpy as jnp
+
+    from online_gp_tpu.api.regression import OnlineSKIRegression
+    from online_gp_tpu.api.stems import IdentityStem
+
+    rng = np.random.default_rng(0)
+    init_x = rng.uniform(-1, 1, (32, 2)).astype(np.float32)
+    init_y = np.sin(3 * init_x[:, :1]) * np.cos(2 * init_x[:, 1:])
+    xs = rng.uniform(-1, 1, (24, 2)).astype(np.float32)
+    ys = (np.sin(3 * xs[:, :1]) * np.cos(2 * xs[:, 1:])).astype(np.float32)
+
+    def fresh():
+        return OnlineSKIRegression(IdentityStem(2), init_x, init_y, grid_size=8, seed=0)
+
+    # arm A: per-point predict -> condition (conditioning-only update)
+    a = fresh()
+    means_a, vars_a = [], []
+    for i in range(len(xs)):
+        m, v = a.predict(xs[i : i + 1])
+        means_a.append(np.asarray(m)[0])
+        vars_a.append(np.asarray(v)[0])
+        a.update(xs[i : i + 1], ys[i : i + 1], update_stem=False, update_gp=False)
+    means_a, vars_a = np.stack(means_a), np.stack(vars_a)
+
+    # arm B: one fused prequential call
+    b = fresh()
+    means_b, vars_b = b.prequential(xs, ys)
+    np.testing.assert_allclose(np.asarray(means_b), means_a, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vars_b), vars_a, rtol=2e-4, atol=2e-5)
+    # both arms absorbed the same stream
+    assert int(a.state.num_data) == int(b.state.num_data)
+
+    # hyper_step moves hypers without conditioning
+    n_before = int(b.state.num_data)
+    sl, gl = b.hyper_step(xs[-4:], ys[-4:], update_stem=False)
+    assert np.isfinite(gl)
+    assert int(b.state.num_data) == n_before

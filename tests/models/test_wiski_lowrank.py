@@ -181,3 +181,49 @@ def test_kernel_aware_compression_tracks_dense():
     assert err_k < 0.05 * scale, (err_k, scale)
     # and far better than the Frobenius A-truncation on this fixture
     assert err_k < 0.1 * err_f, (err_k, err_f)
+
+
+def test_lowrank_rejects_buffer_not_exceeding_rank():
+    """ADVICE r3 item 1: buffer_cols <= rank would make the absorb step
+    size 0/negative and silently ingest nothing — must raise clearly."""
+    import pytest
+
+    from online_gp_tpu.kernels import RBFKernel
+    from online_gp_tpu.ops import Grid
+    from online_gp_tpu.models.wiski_lowrank import (
+        WiskiLowRankModel,
+        wiski_lowrank_init,
+    )
+
+    grid = Grid.create([(-1.1, 1.1)], 64)
+    model = WiskiLowRankModel(RBFKernel(), grid, rank=32, buffer_cols=32)
+    x = jnp.linspace(-1, 1, 16)[:, None]
+    y = jnp.sin(3 * x)
+    with pytest.raises(ValueError, match="buffer_cols"):
+        wiski_lowrank_init(model, x, y, jnp.ones_like(y))
+
+
+def test_lowrank_predict_skip_posterior_variances_mean_only():
+    """ADVICE r3 item 3: with skip_posterior_variances the wrapper predict
+    must return mean + observation-noise-only variance instead of raising."""
+    from online_gp_tpu.api.regression import OnlineSKIRegression
+    from online_gp_tpu.api.stems import IdentityStem
+    from online_gp_tpu.config import SolverConfig
+
+    x = np.linspace(-1, 1, 48)[:, None]
+    y1 = np.sin(3 * x)
+    cfg = SolverConfig(skip_posterior_variances=True)
+    w = OnlineSKIRegression(IdentityStem(1), x, y1, grid_size=256, low_rank=16, cfg=cfg)
+    mean, var = w.predict(x[:8])
+    assert mean.shape == (8, 1) and var.shape == (8, 1)
+    assert bool(jnp.isfinite(mean).all())
+    # variance = observation noise only
+    np.testing.assert_allclose(
+        np.asarray(var), float(w.noise) * np.ones((8, 1)), rtol=1e-6
+    )
+    # multi-output route too
+    y2 = np.concatenate([y1, np.cos(2 * x)], axis=-1)
+    w2 = OnlineSKIRegression(IdentityStem(1), x, y2, grid_size=256, low_rank=16, cfg=cfg)
+    mean2, var2 = w2.predict(x[:8])
+    assert mean2.shape == (8, 2) and var2.shape == (8, 2)
+    assert bool(jnp.isfinite(mean2).all()) and bool(jnp.isfinite(var2).all())

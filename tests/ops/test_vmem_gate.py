@@ -96,3 +96,42 @@ def test_oversized_block_falls_back_to_xla_and_stays_exact():
         cache.root, cache.inv_root, idx, wv, block=12, use_pallas=None
     )
     np.testing.assert_allclose(out_L @ out_L.T, ref_L @ ref_L.T, rtol=1e-4)
+
+
+def test_gate_scales_with_detected_vmem(monkeypatch):
+    """VERDICT r3 item 6: the gate derives from the detected core budget.
+    Doubling the budget must widen the admissible region (previously-OOM
+    shapes admitted); halving must shrink it (previously-OK shapes
+    rejected). At the 16 MiB default it equals the measured v5e table."""
+    import online_gp_tpu.ops.vmem as vmem
+
+    def set_budget(bytes_):
+        monkeypatch.setenv("ONLINE_GP_TPU_VMEM_BYTES", str(bytes_))
+        vmem.device_scoped_vmem_bytes.cache_clear()
+
+    try:
+        set_budget(2 * vmem.SCOPED_VMEM_BYTES_DEFAULT)
+        # measured-OOM-at-16MB shapes fit in a 32 MB budget
+        assert fused_chunk_fits_vmem(1280, 128)
+        assert fused_chunk_fits_vmem(900, 256)
+        assert pred_chunk_fits_vmem(1408, 128)
+
+        set_budget(vmem.SCOPED_VMEM_BYTES_DEFAULT // 2)
+        # measured-OK-at-16MB shapes no longer fit in 8 MB
+        assert not fused_chunk_fits_vmem(1152, 128)
+        assert not pred_chunk_fits_vmem(1280, 128)
+        # tiny shapes always fit
+        assert fused_chunk_fits_vmem(256, 32)
+    finally:
+        monkeypatch.delenv("ONLINE_GP_TPU_VMEM_BYTES", raising=False)
+        vmem.device_scoped_vmem_bytes.cache_clear()
+
+
+def test_device_vmem_detection_defaults():
+    import online_gp_tpu.ops.vmem as vmem
+
+    vmem.device_scoped_vmem_bytes.cache_clear()
+    # CPU test host: unknown kind -> conservative 16 MiB default
+    assert vmem.device_scoped_vmem_bytes() == vmem.SCOPED_VMEM_BYTES_DEFAULT
+    assert vmem.vmem_limit_mb() == 16.0
+    vmem.device_scoped_vmem_bytes.cache_clear()
