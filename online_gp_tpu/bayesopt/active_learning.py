@@ -110,7 +110,14 @@ def run_active_learning(
             return lambda C: q_negative_integrated_posterior_variance(model, params, state, C, mc, cfg)
 
     elif model_type == "exact":
-        model = ExactGPModel(kernel, num_outputs=1, learn_noise=False)
+        # the reference's exact arm is botorch FixedNoiseGP with a RADIAL
+        # ARD Matern-1/2 + the same Gamma priors
+        # (``qnIPV_experiment.py:106-119``); the product matern12 above is
+        # the grid-structured family only the SKI arm needs
+        model = ExactGPModel(
+            make_kernel("radial_matern12"), num_outputs=1, learn_noise=False,
+            priors=priors,
+        )
         params = model.init_params(2)
         state = exact_data_init(train_x, train_y, train_nv)
 

@@ -243,6 +243,11 @@ def run_bayesopt(
     else:
         raise ValueError(f"unknown acquisition {acqf!r} (ucb/ei/nei/kg/mves)")
     acq_step = jax.jit(_acq_step)
+    cond_step = jax.jit(
+        lambda state, xq, yq: wiski_condition(
+            model, state, xq, yq, noise_value * jnp.ones_like(yq)
+        )
+    )
     _dummy_scalar = jnp.asarray(0.0, jnp.float32)
     _dummy_extra = jnp.zeros((1, dim), jnp.float32)
 
@@ -284,9 +289,7 @@ def run_bayesopt(
         y_std_new = ((y_new - y_mean) / y_std)[:, None]
 
         t0 = time.time()
-        state = wiski_condition(
-            model, state, cand_u, y_std_new, noise_value * jnp.ones_like(y_std_new)
-        )
+        state = cond_step(state, cand_u, y_std_new)
         jax.block_until_ready(state.roots.root)
         t_cond = time.time() - t0
 

@@ -33,6 +33,10 @@ class ExactGPModel(NamedTuple):
     num_outputs: int = 1
     learn_noise: bool = True  # False => fixed per-point noise (FixedNoiseGP)
     jitter: float = 1e-6
+    # (raw_param_name, prior) pairs added into the MLL like gpytorch's
+    # registered priors (reference ``ExactMarginalLogLikelihood`` +
+    # ``qnIPV_experiment.py:106-119`` Gamma priors on the exact arm)
+    priors: Optional[tuple] = None
 
     def init_params(self, num_dims: int, dtype=jnp.float32, **kw) -> Dict:
         batch = (self.num_outputs,)
@@ -118,7 +122,14 @@ def exact_gp_mll(model: ExactGPModel, params: Dict, data: ExactGPData) -> jnp.nd
     quad = jnp.sum(alpha * alpha, axis=(-2, -1))
     logdet = chol_logdet(L)
     n = data.count.astype(quad.dtype)
-    return -0.5 * (quad + logdet + n * LOG_2PI) / n
+    res = -0.5 * (quad + logdet + n * LOG_2PI)
+    if model.priors:
+        from online_gp_tpu.kernels.priors import log_prior_sum
+
+        res = res + log_prior_sum(
+            dict(model.priors), params["kernel"], model.kernel.transforms
+        )
+    return res / n
 
 
 def exact_gp_posterior(

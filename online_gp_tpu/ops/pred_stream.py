@@ -80,33 +80,55 @@ def pred_chunk_xla(
     Returns (C', mu', pred_mean (k,), pred_var (k,)) where pred_* are the
     prequential moments w_t^T mu_{t-1} and w_t^T C_{t-1} w_t.
     """
-    k, m = S.shape
-    dtype = C.dtype
     with jax.default_matmul_precision("float32"):
         c0w = S @ C  # (k, m): row t = (C_0 w_t)^T (C symmetric)
         mu0w = S @ mu  # (k,)
+        Z, r, pms, pvs = pred_chunk_factors(S, c0w, mu0w, y, nz)
+        new_C = C - Z.T @ Z
+        new_mu = mu + Z.T @ r
+    return new_C, new_mu, pms, pvs
 
-        def step(carry, inp):
-            Z, r = carry  # (k, m), (k,)
-            s_t, c0_t, mu0w_t, y_t, nz_t, t = inp
-            a = Z @ s_t  # (k,): a_j = z_j . w_t (rows >= t are zero)
-            ct = c0_t - Z.T @ a  # (m,) = C_{t-1} w_t
-            wctw = jnp.sum(s_t * ct)
-            pm = mu0w_t + jnp.sum(r * a)
-            beta = wctw + nz_t
-            inv = jax.lax.rsqrt(jnp.maximum(beta, jnp.asarray(1e-20, dtype)))
-            Z = Z.at[t].set(ct * inv)
-            r = r.at[t].set((y_t - pm) * inv)
-            return (Z, r), (pm, wctw)
 
+def pred_chunk_factors(
+    S: jnp.ndarray,
+    c0w: jnp.ndarray,
+    mu0w: jnp.ndarray,
+    y: jnp.ndarray,
+    nz: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The sequential factor recursion of one predict-then-condition chunk.
+
+    Given the chunk-start projections c0w = S C_0 (k, m) and
+    mu0w = S mu_0 (k,), runs the O(k^2 m) dependent part and returns
+    (Z (k, m), r (k,), pred_mean (k,), pred_var (k,)) with the boundary
+    updates C' = C - Z^T Z, mu' = mu + Z^T r left to the caller — the
+    split that lets the tensor-parallel engine compute c0w/mu0w as one
+    psum over row shards and keep the recursion replicated
+    (:func:`online_gp_tpu.parallel.mesh.sharded_pred_stream_blocked`).
+    """
+    k, m = S.shape
+    dtype = S.dtype
+
+    def step(carry, inp):
+        Z, r = carry  # (k, m), (k,)
+        s_t, c0_t, mu0w_t, y_t, nz_t, t = inp
+        a = Z @ s_t  # (k,): a_j = z_j . w_t (rows >= t are zero)
+        ct = c0_t - Z.T @ a  # (m,) = C_{t-1} w_t
+        wctw = jnp.sum(s_t * ct)
+        pm = mu0w_t + jnp.sum(r * a)
+        beta = wctw + nz_t
+        inv = jax.lax.rsqrt(jnp.maximum(beta, jnp.asarray(1e-20, dtype)))
+        Z = Z.at[t].set(ct * inv)
+        r = r.at[t].set((y_t - pm) * inv)
+        return (Z, r), (pm, wctw)
+
+    with jax.default_matmul_precision("float32"):
         (Z, r), (pms, pvs) = jax.lax.scan(
             step,
             (jnp.zeros((k, m), dtype), jnp.zeros((k,), dtype)),
             (S, c0w, mu0w, y, nz, jnp.arange(k)),
         )
-        new_C = C - Z.T @ Z
-        new_mu = mu + Z.T @ r
-    return new_C, new_mu, pms, pvs
+    return Z, r, pms, pvs
 
 
 def _pad_chunk_aux(a: jnp.ndarray, k: int, fill: float) -> jnp.ndarray:

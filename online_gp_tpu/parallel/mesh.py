@@ -135,6 +135,93 @@ def sharded_stream_blocked(
     return fn(L, B, idx_c, wv_c)
 
 
+def sharded_pred_stream_blocked(
+    C: jnp.ndarray,
+    mu: jnp.ndarray,
+    idx: jnp.ndarray,
+    wv: jnp.ndarray,
+    y: jnp.ndarray,
+    nz: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "tp",
+    block: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tensor-parallel blocked prequential streaming (VERDICT r3 item 9).
+
+    The (m, m) predictive covariance cache — the next single-chip memory
+    wall after the roots — is ROW-sharded over ``axis_name`` and streamed
+    through the same predict-then-condition recursion as
+    :func:`online_gp_tpu.ops.pred_stream.pred_stream_blocked`.
+
+    Per rank-k chunk the only communication is ONE psum of the (k, m)
+    chunk-start projection block plus the (k,) mean projection (each
+    device contributes S[:, local_rows] @ C[local_rows, :]); the O(k^2 m)
+    factor recursion is replicated, and the boundary updates
+    C -= Z^T Z / mu += Z^T r touch only local rows. Per-device state is
+    m^2/d floats; per-point traffic ~2 k m / (k d) = 2 m / d.
+
+    Args:
+      C: (m, m) covariance cache; mu: (m,) mean cache (placed row-sharded
+        here; m must divide by the mesh axis size).
+      idx, wv: (n, P) stencil indices / weights (NOT noise-scaled).
+      y, nz: (n,) targets / clamped noise.
+
+    Returns (C' row-sharded, mu' sharded, pred_mean (n,), pred_var (n,))
+    — the prequential moments, identical to the single-device recursion
+    up to f32 reduction order.
+    """
+    from online_gp_tpu.ops.pred_stream import _pad_chunk_aux, pred_chunk_factors
+    from online_gp_tpu.ops.root_update import pad_and_chunk_stream, stencil_rows
+
+    m = C.shape[-1]
+    d = mesh.shape[axis_name]
+    if m % d != 0:
+        raise ValueError(f"grid size m={m} must divide by mesh axis size {d}")
+    rows_per = m // d
+    n = idx.shape[0]
+    idx_c, wv_c, k = pad_and_chunk_stream(idx, wv, block)
+    y_c = _pad_chunk_aux(y, k, 0.0)
+    nz_c = _pad_chunk_aux(nz, k, 1.0)
+
+    row_sharded = NamedSharding(mesh, P_rows := P(axis_name, None))
+    C = jax.device_put(C, row_sharded)
+    mu = jax.device_put(mu.reshape(m, 1), row_sharded)
+
+    def local_stream(Cl, mul, idx_c, wv_c, y_c, nz_c):
+        did = jax.lax.axis_index(axis_name)
+
+        def chunk_step(carry, inp):
+            Cc, muc = carry  # (m/d, m), (m/d, 1)
+            ic, wc, yc, nzc = inp
+            # densify this device's column slice (out-of-shard stencil
+            # points fall outside [0, rows_per) and produce zero rows)
+            S_loc = stencil_rows(ic - did * rows_per, wc, rows_per)  # (k, m/d)
+            with jax.default_matmul_precision("float32"):
+                c0w = jax.lax.psum(S_loc @ Cc, axis_name)  # (k, m)
+                mu0w = jax.lax.psum(S_loc @ muc, axis_name)[:, 0]  # (k,)
+            S_full = stencil_rows(ic, wc, m)  # (k, m) replicated
+            Z, r, pm, pv = pred_chunk_factors(S_full, c0w, mu0w, yc, nzc)
+            Z_loc = jax.lax.dynamic_slice_in_dim(Z, did * rows_per, rows_per, 1)
+            with jax.default_matmul_precision("float32"):
+                Cc = Cc - Z_loc.T @ Z
+                muc = muc + Z_loc.T @ r[:, None]
+            return (Cc, muc), (pm, pv)
+
+        (Cl, mul), (pms, pvs) = jax.lax.scan(
+            chunk_step, (Cl, mul), (idx_c, wv_c, y_c, nz_c)
+        )
+        return Cl, mul, pms.reshape(-1), pvs.reshape(-1)
+
+    fn = jax.shard_map(
+        local_stream,
+        mesh=mesh,
+        in_specs=(P_rows, P_rows, P(), P(), P(), P()),
+        out_specs=(P_rows, P_rows, P(), P()),
+    )
+    C, mu, pms, pvs = fn(C, mu, idx_c, wv_c, y_c, nz_c)
+    return C, mu[:, 0], pms[:n], pvs[:n]
+
+
 def batched_trials_step(
     model: WiskiModel,
     optimizer: optax.GradientTransformation,
