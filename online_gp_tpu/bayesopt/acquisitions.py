@@ -43,7 +43,20 @@ def q_expected_improvement(
     model: WiskiModel, params: Dict, state: WiskiState, x: jnp.ndarray,
     best_f: jnp.ndarray, key, num_samples: int = 256, cfg: SolverConfig = DEFAULT_CONFIG,
 ) -> jnp.ndarray:
-    """qEI(X) = E[max_j relu(f(x_j) - best_f)]."""
+    """qEI(X) = E[max_j relu(f(x_j) - best_f)].
+
+    At q = 1 the analytic form sigma*(z*Phi(z) + phi(z)) is returned — the
+    MC estimator's exact expectation (same shortcut as qUCB's q=1 branch):
+    it needs only the marginal (mean, var), not the joint covariance root,
+    so the acquisition gradient avoids dragging an m x m Cholesky through
+    the multi-restart optimizer."""
+    if x.shape[0] == 1:
+        mean, var = wiski_predict(model, params, state, x, cfg)
+        sigma = jnp.sqrt(jnp.maximum(var[0, 0], 1e-12))
+        z = (mean[0, 0] - best_f) / sigma
+        phi = jnp.exp(-0.5 * z * z) / jnp.sqrt(2.0 * jnp.pi)
+        Phi = 0.5 * (1.0 + jax.scipy.special.erf(z / jnp.sqrt(2.0)))
+        return sigma * (z * Phi + phi)
     f = _joint_samples(model, params, state, x, key, num_samples, cfg)
     return jnp.mean(jnp.max(jax.nn.relu(f - best_f), axis=-1))
 

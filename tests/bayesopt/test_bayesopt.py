@@ -324,3 +324,20 @@ def test_optimize_acqf_lbfgs_method():
 
     with pytest.raises(ValueError, match="unknown method"):
         optimize_acqf(acqf, bounds, q=1, method="sgd")
+
+
+def test_qei_analytic_q1_matches_mc(wiski_posterior):
+    """The q=1 analytic EI branch equals the MC q-batch estimator's
+    expectation: a 2-point q-batch of the SAME candidate has the same EI
+    as the single candidate (max over identical coordinates), so the MC
+    path at q=2-duplicated must agree with the analytic q=1 value."""
+    model, params, state, x = wiski_posterior
+    key = jax.random.PRNGKey(4)
+    cand = jnp.asarray([[0.45, -0.2]])
+    best = jnp.asarray(0.3)
+    analytic = float(acq.q_expected_improvement(model, params, state, cand, best, key))
+    mc_dup = float(acq.q_expected_improvement(
+        model, params, state, jnp.tile(cand, (2, 1)), best, key, num_samples=8192
+    ))
+    assert analytic >= 0.0
+    np.testing.assert_allclose(mc_dup, analytic, rtol=0.1, atol=5e-4)
