@@ -47,13 +47,22 @@ def _group_label(path: str) -> str:
     return "hyper"
 
 
-def _make_optimizer(lr: float):
-    """hyper @ lr, variational @ lr/10 (reference param_groups)."""
+def _make_optimizer(lr: float, variational_mode: str = "grad"):
+    """hyper @ lr, variational @ lr/10 (reference param_groups).
+
+    Under ``variational_mode="closed_form"`` the variational group is
+    frozen for gradient steps — q(u) moves only through the exact
+    streaming update (variational EM: closed-form E-step, gradient
+    M-step on the hypers)."""
     def label_fn(params):
         return {k: _group_label(k) for k in params}
 
+    var_opt = (
+        optax.set_to_zero() if variational_mode == "closed_form"
+        else optax.adam(lr / 10.0)
+    )
     return optax.multi_transform(
-        {"hyper": optax.adam(lr), "variational": optax.adam(lr / 10.0)}, label_fn
+        {"hyper": optax.adam(lr), "variational": var_opt}, label_fn
     )
 
 
@@ -73,6 +82,7 @@ class _OnlineSVGPBase:
         num_update_steps: int = 1,
         kernel: str | Kernel = "rbf",
         inducing_points=None,
+        variational_mode: str = "grad",
         cfg: SolverConfig = DEFAULT_CONFIG,
         seed: int = 0,
         **unused,
@@ -85,6 +95,17 @@ class _OnlineSVGPBase:
         self.prior_beta = prior_beta
         self.online_beta = online_beta
         self.num_update_steps = num_update_steps
+        if variational_mode not in ("grad", "closed_form"):
+            raise ValueError(
+                f"variational_mode {variational_mode!r} (grad/closed_form)"
+            )
+        if variational_mode == "closed_form" and self.likelihood != "gaussian":
+            raise ValueError(
+                "closed_form variational updates need a conjugate (gaussian) "
+                "likelihood; the probit-Bernoulli classifier trains q(u) by "
+                "gradient"
+            )
+        self.variational_mode = variational_mode
 
         key = jax.random.PRNGKey(seed)
         k_stem, k_z = jax.random.split(key)
@@ -100,7 +121,7 @@ class _OnlineSVGPBase:
         self.params = svgp_init_variational_to_prior(self.model, self.params)
         self.old: Optional[SVGPOldState] = None
 
-        self.opt = _make_optimizer(lr)
+        self.opt = _make_optimizer(lr, variational_mode)
         self.opt_state = self.opt.init(self.params)
         self.stem_opt = optax.adam(lr / 10.0)
         self.stem_opt_state = self.stem_opt.init(self.stem_params)
@@ -217,7 +238,13 @@ class _OnlineSVGPBase:
         targets = jnp.asarray(targets)
         q = inputs.shape[0]
         use_streaming = self.streaming
-        if use_streaming:
+        if self.variational_mode == "closed_form":
+            # variational EM — E-step: the exact Bui streaming optimum for
+            # q(u) given the current hypers (snapshots self.old itself);
+            # the gradient loop below is then the M-step on the hypers
+            # only (the optimizer zeroes the variational group).
+            self.closed_form_update(inputs, targets)
+        elif use_streaming:
             self.old = svgp_snapshot(self.model, self.params)
         replay_n = 1024 if self.stem.has_params else 0
         step = self._train_step_fn(q, q, self.prior_beta, use_streaming, replay_n)
@@ -248,14 +275,23 @@ class _OnlineSVGPBase:
 
     def closed_form_update(self, inputs, targets):
         """The reference's ``update_variational_parameters`` arm (used by
-        the BayesOpt osvgp variant)."""
+        the BayesOpt osvgp variant and by ``variational_mode="closed_form"``)."""
         feats = self._features(jnp.asarray(inputs).reshape(-1, self.stem.input_dim))
-        self.old = svgp_snapshot(self.model, self.params)
-        self.params = svgp_closed_form_update(self.model, self.params, feats, jnp.asarray(targets))
+        key = ("cfu", feats.shape[0])
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, f, y: (
+                    svgp_snapshot(self.model, p),
+                    svgp_closed_form_update(self.model, p, f, y),
+                )
+            )
+        self.old, self.params = self._jit_cache[key](
+            self.params, feats, jnp.asarray(targets)
+        )
 
     def set_lr(self, gp_lr: float, stem_lr: Optional[float] = None, bn_mom: Optional[float] = None):
         self.lr = gp_lr
-        self.opt = _make_optimizer(gp_lr)
+        self.opt = _make_optimizer(gp_lr, self.variational_mode)
         self.opt_state = self.opt.init(self.params)
         self.stem_opt = optax.adam((stem_lr if stem_lr is not None else gp_lr) / 10.0)
         self.stem_opt_state = self.stem_opt.init(self.stem_params)

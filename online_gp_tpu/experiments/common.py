@@ -90,7 +90,9 @@ def load_dataset(cfg: Dict):
             return tr_x, tr_y, te_x, te_y
         raise ValueError(f"unknown classification dataset {d['name']}")
     if d["name"] == "friedman":
-        return streaming_friedman(seed=cfg["seed"], num_dims=d["input_dim"])
+        return streaming_friedman(
+            n=int(d.get("n", 4000)), seed=cfg["seed"], num_dims=d["input_dim"]
+        )
     bundle = load_uci(
         d["name"],
         data_dir=cfg.get("data_dir"),

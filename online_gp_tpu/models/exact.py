@@ -24,6 +24,7 @@ from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense
 from online_gp_tpu.ops.grid import Grid
 from online_gp_tpu.ops.interp import interp_coeffs, dense_w
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, chol_logdet, tri_solve
+from online_gp_tpu.ops.precision import f32_matmuls
 
 LOG_2PI = 1.8378770664093453
 
@@ -48,6 +49,7 @@ def ski_kernel_matrix(
     return W1 @ Kuu @ W2.swapaxes(-1, -2)
 
 
+@f32_matmuls
 def exact_mll(
     K: jnp.ndarray,
     y: jnp.ndarray,
@@ -71,6 +73,7 @@ def exact_mll(
     return -0.5 * (quad + logdet + n * LOG_2PI) / n
 
 
+@f32_matmuls
 def exact_posterior(
     K_train: jnp.ndarray,
     K_cross: jnp.ndarray,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from online_gp_tpu.kernels.base import Kernel
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, tri_solve, chol_logdet
+from online_gp_tpu.ops.precision import f32_matmuls
 
 LOG_2PI = 1.8378770664093453
 
@@ -113,6 +114,7 @@ def _masked_khat(model: ExactGPModel, params: Dict, data: ExactGPData) -> jnp.nd
     return K * mm[None] + diag[:, :, None] * eye
 
 
+@f32_matmuls
 def exact_gp_mll(model: ExactGPModel, params: Dict, data: ExactGPData) -> jnp.ndarray:
     """(B,) exact MLL / n over the active rows."""
     Khat = _masked_khat(model, params, data)
@@ -132,6 +134,7 @@ def exact_gp_mll(model: ExactGPModel, params: Dict, data: ExactGPData) -> jnp.nd
     return res / n
 
 
+@f32_matmuls
 def exact_gp_posterior(
     model: ExactGPModel, params: Dict, data: ExactGPData, xt: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -26,6 +26,7 @@ import numpy as np
 
 from online_gp_tpu.kernels.base import Kernel
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, tri_solve, chol_logdet
+from online_gp_tpu.ops.precision import f32_matmuls
 
 LOG_2PI = 1.8378770664093453
 
@@ -94,6 +95,7 @@ def localgp_init(model: LocalGPModel, x, y, seed: int = 0) -> LocalGPState:
     return LocalGPState(*map(jnp.asarray, (xb, yb, mask, counts, active, centers)))
 
 
+@f32_matmuls
 def localgp_weights(model: LocalGPModel, params: Dict, state: LocalGPState, x: jnp.ndarray) -> jnp.ndarray:
     """(n, E) kernel weights to expert centers (clamped, inactive zeroed)."""
     w = model.kernel.matrix(params["kernel"], x, state.centers)  # (n, E)
@@ -144,6 +146,7 @@ def _expert_chol(model: LocalGPModel, params: Dict, state: LocalGPState):
     return psd_safe_cholesky(Khat, jitter=model.jitter)
 
 
+@f32_matmuls
 def localgp_joint_mll(model: LocalGPModel, params: Dict, state: LocalGPState) -> jnp.ndarray:
     """Sum of per-expert exact MLLs (the reference's
     ``SumMarginalLogLikelihood`` training objective), active experts only."""
@@ -157,6 +160,7 @@ def localgp_joint_mll(model: LocalGPModel, params: Dict, state: LocalGPState) ->
     return jnp.sum(per_expert * state.active)
 
 
+@f32_matmuls
 def localgp_predict(
     model: LocalGPModel, params: Dict, state: LocalGPState, xt: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from online_gp_tpu.kernels.base import Kernel
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, tri_solve, chol_logdet
+from online_gp_tpu.ops.precision import f32_matmuls
 
 LOG_2PI = 1.8378770664093453
 
@@ -63,6 +64,7 @@ def _jeye(n, dtype, eps):
     return eps * jnp.eye(n, dtype=dtype)
 
 
+@f32_matmuls
 def sgpr_c_matrix(model: SGPRModel, params: Dict, old: Optional[SGPROldState], x: jnp.ndarray) -> jnp.ndarray:
     """Reference ``current_C_matrix`` (lines 60-81)."""
     sigma2 = jnp.exp(params["raw_noise"])
@@ -79,6 +81,7 @@ def sgpr_c_matrix(model: SGPRModel, params: Dict, old: Optional[SGPROldState], x
     return C
 
 
+@f32_matmuls
 def sgpr_c_vec(model: SGPRModel, params: Dict, old: Optional[SGPROldState], x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Reference ``current_c_vec`` (lines 83-106)."""
     sigma2 = jnp.exp(params["raw_noise"])
@@ -97,6 +100,7 @@ def sgpr_c_vec(model: SGPRModel, params: Dict, old: Optional[SGPROldState], x: j
     return c
 
 
+@f32_matmuls
 def sgpr_pseudotargets(model: SGPRModel, old: SGPROldState) -> jnp.ndarray:
     """K_aa_old C_old^-1 m_a + m_a (reference lines 108-119)."""
     Kaa_old = model.kernel.matrix(old.kernel_params, old.z, old.z)
@@ -105,6 +109,7 @@ def sgpr_pseudotargets(model: SGPRModel, old: SGPROldState) -> jnp.ndarray:
     return Kaa_old @ cho_solve(Lc, ma) + ma
 
 
+@f32_matmuls
 def sgpr_moments_from(model: SGPRModel, params: Dict, C: jnp.ndarray, c: jnp.ndarray) -> SGPRMoments:
     """m_b = K_bb (K_bb + C)^-1 c,  S_b = K_bb (K_bb + C)^-1 K_bb."""
     z_b = params["z"]
@@ -116,6 +121,7 @@ def sgpr_moments_from(model: SGPRModel, params: Dict, C: jnp.ndarray, c: jnp.nda
     return SGPRMoments(var_mean=m_b, var_chol=S_chol)
 
 
+@f32_matmuls
 def sgpr_moments(model: SGPRModel, params: Dict, old: Optional[SGPROldState], x: jnp.ndarray, y: jnp.ndarray) -> SGPRMoments:
     """Closed-form (m_b, S_b) (reference ``_update_variational_moments``)."""
     C = sgpr_c_matrix(model, params, old, x)
@@ -123,6 +129,7 @@ def sgpr_moments(model: SGPRModel, params: Dict, old: Optional[SGPROldState], x:
     return sgpr_moments_from(model, params, C, c)
 
 
+@f32_matmuls
 def sgpr_absorb(
     model: SGPRModel,
     params: Dict,
@@ -184,6 +191,7 @@ def sgpr_absorb(
     return new_params, new_old, new_moments
 
 
+@f32_matmuls
 def sgpr_predict(model: SGPRModel, params: Dict, moments: SGPRMoments, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Unwhitened predictive from stored (m_b, S_b) — same strategy as SVGP."""
     z = params["z"]
@@ -200,6 +208,7 @@ def sgpr_predict(model: SGPRModel, params: Dict, moments: SGPRMoments, x: jnp.nd
     return mean, jnp.maximum(var, 1e-10)
 
 
+@f32_matmuls
 def sgpr_bound(
     model: SGPRModel,
     params: Dict,

@@ -34,6 +34,7 @@ from online_gp_tpu.config import SolverConfig, DEFAULT_CONFIG
 from online_gp_tpu.kernels.base import Kernel
 from online_gp_tpu.ops.chol import psd_safe_cholesky, cho_solve, tri_solve, chol_logdet
 from online_gp_tpu.likelihoods.bernoulli import bernoulli_probit_expected_log_prob
+from online_gp_tpu.ops.precision import f32_matmuls
 
 LOG_2PI = 1.8378770664093453
 
@@ -98,6 +99,7 @@ def _var_cov(params: Dict) -> jnp.ndarray:
     return L @ L.T
 
 
+@f32_matmuls
 def svgp_predict(
     model: SVGPModel,
     params: Dict,
@@ -132,6 +134,7 @@ def gaussian_expected_log_prob(y, mean, var, noise):
     return -0.5 * (LOG_2PI + jnp.log(noise) + ((y - mean) ** 2 + var) / noise)
 
 
+@f32_matmuls
 def svgp_kl_to_prior(model: SVGPModel, params: Dict) -> jnp.ndarray:
     """KL(q(u) || p(u)) with p(u) = N(mu_z, Kzz)."""
     z = params["z"]
@@ -148,6 +151,7 @@ def svgp_kl_to_prior(model: SVGPModel, params: Dict) -> jnp.ndarray:
     return 0.5 * (trace + quad - M + logdet_p - logdet_q)
 
 
+@f32_matmuls
 def svgp_elbo(
     model: SVGPModel,
     params: Dict,
@@ -172,6 +176,7 @@ def svgp_elbo(
 # -- streaming pieces -------------------------------------------------------
 
 
+@f32_matmuls
 def svgp_snapshot(model: SVGPModel, params: Dict) -> SVGPOldState:
     """Freeze the current variational and prior distributions at z."""
     z = jax.lax.stop_gradient(params["z"])
@@ -197,6 +202,7 @@ def _kl_mvn(m0, S0, m1, S1, jitter=1e-8):
     return 0.5 * (trace + quad - k + chol_logdet(L1) - chol_logdet(L0))
 
 
+@f32_matmuls
 def svgp_streaming_correction(
     model: SVGPModel,
     params: Dict,
@@ -214,6 +220,7 @@ def svgp_streaming_correction(
     return (kl_qq - kl_qp) * online_beta / batch_size
 
 
+@f32_matmuls
 def svgp_closed_form_update(
     model: SVGPModel,
     params: Dict,

@@ -53,6 +53,33 @@ def test_svgp_regression(fr):
     assert np.isfinite(rmse2)
 
 
+def test_svgp_closed_form_streaming(fr):
+    """``variational_mode="closed_form"`` (variational EM: exact Bui
+    E-step + hyper-only gradient M-step) must absorb a stream it never
+    batch-trained on — init-set fit only, then 400 streamed points —
+    and beat the same-budget pure-gradient arm's test RMSE."""
+    tx, ty, ex, ey = fr
+    arms = {}
+    for mode in ("closed_form", "grad"):
+        m = OnlineSVGPRegression(
+            IdentityStem(2), tx[:100], ty[:100], num_inducing=32, lr=0.05,
+            streaming=True, variational_mode=mode,
+        )
+        m.fit(tx[:100], ty[:100], num_epochs=60, batch_size=100)
+        for i in range(100, 500, 4):
+            m.update(tx[i : i + 4], ty[i : i + 4])
+        arms[mode], _ = m.evaluate(ex, ey)
+    assert np.isfinite(arms["closed_form"])
+    assert arms["closed_form"] <= arms["grad"] + 1e-6
+    assert arms["closed_form"] <= 0.45
+
+    with pytest.raises(ValueError, match="conjugate"):
+        OnlineSVGPClassifier(
+            IdentityStem(2), tx[:20], (ty[:20, 0] > 0).astype(np.int32),
+            variational_mode="closed_form",
+        )
+
+
 def test_sgpr_regression(fr):
     tx, ty, ex, ey = fr
     m = OnlineSGPRegression(IdentityStem(2), tx[:100], ty[:100], num_inducing=32, lr=0.05, num_update_steps=0)
