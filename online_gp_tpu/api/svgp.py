@@ -33,6 +33,7 @@ from online_gp_tpu.models.svgp import (
     svgp_snapshot,
     svgp_streaming_correction,
     svgp_closed_form_update,
+    svgp_exact_estep,
     svgp_init_variational_to_prior,
 )
 from online_gp_tpu.likelihoods.bernoulli import bernoulli_probit_predictive
@@ -187,11 +188,26 @@ class _OnlineSVGPBase:
         rng = np.random.default_rng(0)
         records = []
         sched = optax.cosine_decay_schedule(self.lr, max(num_epochs, 1), alpha=1e-4 / self.lr)
-        # fresh optimizers with the schedule for the fit phase
+        closed = self.variational_mode == "closed_form"
+        # fresh optimizers with the schedule for the fit phase; under
+        # variational EM (m, S) move only through the exact E-step below,
+        # while z keeps its gradient steps (the E-step is the optimum at
+        # FIXED z; freezing z too leaves the inducing set wherever it was
+        # seeded and the M-step compensates with runaway lengthscales)
         saved_opt = self.opt
+
+        def _fit_label(k: str) -> str:
+            if closed and k.startswith(("var_mean", "var_chol")):
+                return "estep"
+            return _group_label(k)
+
         self.opt = optax.multi_transform(
-            {"hyper": optax.adam(sched), "variational": optax.adam(lambda c: sched(c) / 10.0)},
-            lambda params: {k: _group_label(k) for k in params},
+            {
+                "hyper": optax.adam(sched),
+                "variational": optax.adam(lambda c: sched(c) / 10.0),
+                "estep": optax.set_to_zero(),
+            },
+            lambda params: {k: _fit_label(k) for k in params},
         )
         self.opt_state = self.opt.init(self.params)
         self.stem_opt = optax.adam(lambda c: sched(c) / 10.0)
@@ -199,6 +215,20 @@ class _OnlineSVGPBase:
         self._jit_cache = {}
 
         bs = min(batch_size, n)
+
+        def estep():
+            # variational-EM E-step: exact batch-optimal q(u) for the
+            # current hypers/stem over the whole fit set
+            feats = self._features(inputs)
+            key = ("estep", feats.shape[0])
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda p, f, t: svgp_exact_estep(self.model, p, f, t)
+                )
+            self.params = self._jit_cache[key](self.params, feats, targets)
+
+        if closed:
+            estep()  # the hyper M-steps start from a sensible q(u)
         for epoch in range(num_epochs):
             perm = rng.permutation(n)
             avg_loss, num_batches = 0.0, 0
@@ -224,6 +254,8 @@ class _OnlineSVGPBase:
                 )
                 avg_loss += float(loss)
                 num_batches += 1
+            if closed:
+                estep()  # re-sync q(u) after the epoch's hyper/stem moves
             records.append(self._fit_record(epoch, avg_loss / max(num_batches, 1), test_dataset))
 
         self.opt = saved_opt

@@ -24,7 +24,12 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
     "exact_gp_regression": dict(name="exact_gp_regression", type="regression", init_ratio=0.05, lr=1e-2),
     "svgp_regression": dict(name="svgp_regression", type="regression", init_ratio=0.05, streaming=True,
                             num_inducing=256, lr=1e-2, prior_beta=1e-3, online_beta=1e-3,
-                            num_update_steps=None),
+                            num_update_steps=None,
+                            # "grad": reference O-SVGP (ELBO gradient steps on all
+                            # params); "closed_form": variational-EM — Bui et al.
+                            # exact (m, S) update per batch, gradients only on
+                            # hypers (models/svgp.py::svgp_closed_form_update)
+                            variational_mode="grad"),
     "sgpr_regression": dict(name="sgpr_regression", type="regression", init_ratio=0.05,
                             num_inducing=256, lr=1e-2, num_update_steps=1, jitter=1e-4),
     "localgp_regression": dict(name="localgp_regression", type="regression", init_ratio=0.05,

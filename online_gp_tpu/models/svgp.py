@@ -282,3 +282,44 @@ def svgp_closed_form_update(
     out["var_mean"] = new_mean
     out["var_chol"] = new_chol
     return out
+
+
+@f32_matmuls
+def svgp_exact_estep(
+    model: SVGPModel,
+    params: Dict,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+) -> Dict:
+    """Batch-optimal q(u) given the current hypers (the variational-EM
+    E-step over a full dataset).
+
+    The ELBO's optimum in (m, S) for fixed hypers is Titsias' collapsed
+    posterior — with ``Sigma = Kzz + Kzf Kfz / sigma^2``:
+
+      S = Kzz Sigma^-1 Kzz,   m = Kzz Sigma^-1 Kzf y / sigma^2
+
+    Equivalent to :func:`svgp_closed_form_update` from a prior-reset q(a)
+    (whose pseudo-observations then carry no information), but O(n m^2)
+    instead of O((n+m)^3) and independent of the current variational
+    state. Used by ``OnlineSVGPRegression(variational_mode="closed_form")``
+    during batch ``fit`` — the reference trains q(u) only by gradient
+    (``online_svgp_regression.py:57-91``), which stalls at small n; this
+    is the documented EM alternative.
+    """
+    z = jax.lax.stop_gradient(params["z"])
+    kp = jax.lax.stop_gradient(params["kernel"])
+    noise = jnp.exp(jax.lax.stop_gradient(params.get("raw_noise", jnp.asarray(0.0))))
+    M = z.shape[0]
+    eye = jnp.eye(M, dtype=z.dtype)
+    Kzz = model.kernel.matrix(kp, z, z) + model.jitter * eye
+    Kzf = model.kernel.matrix(kp, z, x)  # (M, n)
+    Sigma = Kzz + (Kzf @ Kzf.T) / noise
+    Ls = psd_safe_cholesky(Sigma, jitter=model.jitter)
+    half = cho_solve(Ls, Kzz)  # Sigma^-1 Kzz, (M, M)
+    S = Kzz @ half
+    m = (Kzz @ cho_solve(Ls, Kzf @ y.reshape(-1, 1))) / noise
+    out = dict(params)
+    out["var_mean"] = m[:, 0]
+    out["var_chol"] = psd_safe_cholesky(0.5 * (S + S.T), jitter=model.jitter, tries=5)
+    return out

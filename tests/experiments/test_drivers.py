@@ -202,3 +202,22 @@ def test_fused_stream_matches_per_step_loop():
     sl, gl = b.hyper_step(xs[-4:], ys[-4:], update_stem=False)
     assert np.isfinite(gl)
     assert int(b.state.num_data) == n_before
+
+
+def test_svgp_variational_mode_config(tmp_path):
+    """``model.variational_mode=closed_form`` reaches the SVGP wrapper
+    through the config registry and the driver runs the variational-EM
+    arm end to end (exact Bui-et-al (m,S) update per batch; gradients
+    touch only the hypers)."""
+    from online_gp_tpu.experiments.config import parse_config
+    from online_gp_tpu.experiments.regression import regression_trial
+
+    cfg = parse_config([
+        "model=svgp_regression", "dataset=friedman", "stem=linear",
+        "model.variational_mode=closed_form", "model.num_inducing=32",
+        "num_batch_epochs=5", "batch_size=4", "logging_freq=10",
+        "max_stream=24", f"log_dir={tmp_path}", "dataset.input_dim=2",
+    ])
+    assert cfg["model"]["variational_mode"] == "closed_form"
+    out = regression_trial(cfg)
+    assert np.isfinite(out["test_rmse"])

@@ -139,3 +139,84 @@ class TestSGPR:
         v_stream = sgpr_bound(model, params, old, x[150:200], y[150:200])
         assert not np.allclose(float(v_first), float(v_stream))
         assert np.isfinite(float(v_stream))
+
+
+class TestExactEstep:
+    def test_estep_is_elbo_optimal(self):
+        """svgp_exact_estep lands on the collapsed-posterior optimum: its
+        ELBO dominates the prior init AND a 200-step gradient-trained
+        q(u) at the same hypers (E-step optimality in (m, S))."""
+        from online_gp_tpu.models.svgp import svgp_exact_estep
+
+        x, y = _sine_data(n=120)
+        model = SVGPModel(RBFKernel())
+        z = jnp.linspace(-1, 1, 12, dtype=DT)[:, None]
+        params0 = svgp_init_variational_to_prior(
+            model, model.init_params(z, 1, lengthscale=0.4)
+        )
+        elbo = lambda p: float(svgp_elbo(model, p, x, y, x.shape[0], 1.0))
+
+        star = svgp_exact_estep(model, params0, x, y)
+        assert elbo(star) > elbo(params0)
+
+        # gradient ascent on (var_mean, var_chol) only, hypers frozen
+        g = jax.jit(jax.grad(lambda p: -svgp_elbo(model, p, x, y, x.shape[0], 1.0)))
+        opt = optax.adam(0.05)
+        os_ = opt.init(params0)
+        p = dict(params0)
+        for _ in range(200):
+            grads = g(p)
+            grads = {
+                k: (v if k in ("var_mean", "var_chol")
+                    else jax.tree.map(jnp.zeros_like, v))
+                for k, v in grads.items()
+            }
+            up, os_ = opt.update(grads, os_, p)
+            p = optax.apply_updates(p, up)
+        assert elbo(star) >= elbo(p) - 1e-3
+
+    def test_estep_matches_bui_update_from_prior(self):
+        """From a prior-reset q(a) the Bui pseudo-observation update and
+        the direct collapsed form compute the same optimum."""
+        from online_gp_tpu.models.svgp import svgp_exact_estep
+
+        x, y = _sine_data(n=60)
+        model = SVGPModel(RBFKernel())
+        z = jnp.linspace(-1, 1, 10, dtype=DT)[:, None]
+        params0 = svgp_init_variational_to_prior(
+            model, model.init_params(z, 1, lengthscale=0.4)
+        )
+        a = svgp_exact_estep(model, params0, x, y)
+        b = svgp_closed_form_update(model, params0, x, y)
+        np.testing.assert_allclose(
+            np.asarray(a["var_mean"]), np.asarray(b["var_mean"]), atol=5e-3
+        )
+        Sa = a["var_chol"] @ a["var_chol"].T
+        Sb = b["var_chol"] @ b["var_chol"].T
+        np.testing.assert_allclose(np.asarray(Sa), np.asarray(Sb), atol=5e-3)
+
+    def test_closed_form_fit_recovers_small_init(self):
+        """variational_mode='closed_form' fit succeeds where the same-budget
+        pure-gradient fit stalls: 150 points, 30 epochs (the online
+        wrapper's pretrain regime that motivated the EM mode)."""
+        from online_gp_tpu.api.svgp import OnlineSVGPRegression
+        from online_gp_tpu.api.stems import IdentityStem
+
+        kx, ky = jax.random.split(jax.random.PRNGKey(3))
+        x = jax.random.uniform(kx, (150, 2), minval=-1, maxval=1, dtype=DT)
+        y = jnp.sin(3 * x[:, 0]) * jnp.cos(2 * x[:, 1])
+        y = (y + 0.05 * jax.random.normal(ky, y.shape, dtype=DT))[:, None]
+        x_np, y_np = np.asarray(x), np.asarray(y)
+
+        em = OnlineSVGPRegression(IdentityStem(2), x_np, y_np, num_inducing=32,
+                                  lr=0.05, variational_mode="closed_form", seed=0)
+        em.fit(x_np, y_np, num_epochs=30)
+        rmse_em, _ = em.evaluate(x_np, y_np)
+
+        grad = OnlineSVGPRegression(IdentityStem(2), x_np, y_np, num_inducing=32,
+                                    lr=0.05, seed=0)
+        grad.fit(x_np, y_np, num_epochs=30)
+        rmse_grad, _ = grad.evaluate(x_np, y_np)
+
+        assert rmse_em < 0.3, f"EM fit rmse {rmse_em}"
+        assert rmse_em <= rmse_grad + 1e-6, (rmse_em, rmse_grad)
