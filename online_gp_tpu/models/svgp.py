@@ -180,8 +180,17 @@ def svgp_elbo(
 def svgp_snapshot(model: SVGPModel, params: Dict) -> SVGPOldState:
     """Freeze the current variational and prior distributions at z."""
     z = jax.lax.stop_gradient(params["z"])
-    Kzz = model.kernel.matrix(params["kernel"], z, z)
-    var_cov = _var_cov(params) + 1e-5 * jnp.eye(z.shape[0], dtype=z.dtype)
+    eye = jnp.eye(z.shape[0], dtype=z.dtype)
+    # Both covariances need an explicit floor: an f32 RBF gram over 256
+    # clustered inducing points is routinely indefinite at the ~1e-5
+    # scale, and the streaming correction's escalating jitter (1e-8 *
+    # 10^2 max) cannot rescue a -1e-5 eigenvalue — the correction then
+    # NaNs on the FIRST online step (observed under
+    # variational_mode="closed_form" whose exact E-step leaves q(u)
+    # collapsed, but the hazard is mode-independent since prior_cov is
+    # Kzz either way).
+    Kzz = model.kernel.matrix(params["kernel"], z, z) + 1e-5 * eye
+    var_cov = _var_cov(params) + 1e-5 * eye
     return SVGPOldState(
         z=z,
         var_mean=jax.lax.stop_gradient(params["var_mean"]),
@@ -189,17 +198,6 @@ def svgp_snapshot(model: SVGPModel, params: Dict) -> SVGPOldState:
         prior_mean=jax.lax.stop_gradient(_mean_fn(model, params, z)),
         prior_cov=jax.lax.stop_gradient(Kzz),
     )
-
-
-def _kl_mvn(m0, S0, m1, S1, jitter=1e-8):
-    """KL(N(m0,S0) || N(m1,S1)) for dense covariances."""
-    k = m0.shape[-1]
-    L1 = psd_safe_cholesky(S1, jitter=jitter)
-    L0 = psd_safe_cholesky(S0, jitter=jitter)
-    half = tri_solve(L1, L0)
-    trace = jnp.sum(half * half)
-    quad = jnp.sum(tri_solve(L1, (m1 - m0)[:, None]) ** 2)
-    return 0.5 * (trace + quad - k + chol_logdet(L1) - chol_logdet(L0))
 
 
 @f32_matmuls
@@ -212,12 +210,30 @@ def svgp_streaming_correction(
     cfg: SolverConfig = DEFAULT_CONFIG,
 ) -> jnp.ndarray:
     """(KL[q_new(a) || q_old(a)] - KL[q_new(a) || p_old(a)]) * beta / n —
-    the Bui et al. streaming regularizer added to the minibatch ELBO."""
+    the Bui et al. streaming regularizer added to the minibatch ELBO.
+
+    Computed as the DIFFERENCE of the two KLs directly, never as two
+    separate KL evaluations: the -logdet(S0) term (S0 = q_new's
+    covariance projected to old.z) cancels between them, so the difference
+    needs NO factorization of S0 — only traces linear in S0. That matters
+    because S0 is routinely numerically singular past any reasonable
+    jitter (e.g. right after a closed-form E-step collapses q(u) onto the
+    data) and its f32 Cholesky on TPU then NaNs the correction VALUE, not
+    just the gradient (observed killing the quality-suite stream at
+    variational_mode=closed_form on-chip while CPU survived).
+    """
     mean, cov = svgp_predict(model, params, old.z, cfg, full_cov=True)
-    cov = cov + model.jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
-    kl_qq = _kl_mvn(mean, cov, old.var_mean, old.var_cov)
-    kl_qp = _kl_mvn(mean, cov, old.prior_mean, old.prior_cov)
-    return (kl_qq - kl_qp) * online_beta / batch_size
+    L_q = psd_safe_cholesky(old.var_cov, jitter=1e-8)
+    L_p = psd_safe_cholesky(old.prior_cov, jitter=1e-8)
+    eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    tr_q = jnp.sum(cho_solve(L_q, cov) * eye)  # tr(S1^-1 S0), no chol(S0)
+    tr_p = jnp.sum(cho_solve(L_p, cov) * eye)
+    quad_q = jnp.sum(tri_solve(L_q, (old.var_mean - mean)[:, None]) ** 2)
+    quad_p = jnp.sum(tri_solve(L_p, (old.prior_mean - mean)[:, None]) ** 2)
+    diff = 0.5 * (
+        (tr_q - tr_p) + (quad_q - quad_p) + chol_logdet(L_q) - chol_logdet(L_p)
+    )
+    return diff * online_beta / batch_size
 
 
 @f32_matmuls
@@ -228,52 +244,65 @@ def svgp_closed_form_update(
     new_y: jnp.ndarray,
     new_z: Optional[jnp.ndarray] = None,
 ) -> Dict:
-    """Closed-form O-SVGP variational update (Bui et al.): convert the old
+    """Closed-form O-SVGP variational update (Bui et al.): fold the old
     q(a) into pseudo-observations and recompute (m_b, S_b) exactly.
 
-      D_a   = (S_a^-1 - K_aa^-1)^-1
-      y_hat = [y ; D_a S_a^-1 m_a],  Sigma = blockdiag(sigma^2 I, D_a)
-      C     = K_fb K_bb^-1 K_bf + Sigma   over stacked (x, a)
-      m_b   = K_bf C^-1 y_hat,   S_b = K_bb - K_bf C^-1 K_fb
+    The textbook form routes through D_a = (S_a^-1 - K_aa^-1)^-1 — a
+    difference of inverses of two near-singular Grams, which in f32 is
+    numerical garbage (observed eigenvalues spanning ±6e4 where the exact
+    quantity is PSD; it silently destroyed the posterior within ~100
+    single-point updates on the quality stream). Substituting
+    D_a^-1 = S_a^-1 - K_aa^-1 back into the DTC normal equations cancels
+    D_a everywhere, leaving the explicitly-PSD natural form
+
+      A   = K_bb + K_bx K_xb / sigma^2 + K_ba S_a^-1 K_ab - K_ba K_aa^-1 K_ab
+      rhs = K_bx y / sigma^2 + K_ba S_a^-1 m_a
+      m_b = K_bb A^-1 rhs,    S_b = K_bb A^-1 K_bb
+
+    (A >= 0 because K_bb - K_ba K_aa^-1 K_ab is a kernel Schur complement
+    and the other two terms are Gram outer products). For the common
+    z_b == z_a path the first and last terms cancel algebraically:
+      A = K_ax K_xa / sigma^2 + K_aa S_a^-1 K_aa
+    so neither K_aa^-1 nor the cancellation noise ever appears. Matches
+    the update applied by the reference's
+    ``online_gp/models/variational_gp_model.py::update_variational_parameters``.
     """
     jitter = model.jitter
     z_a = jax.lax.stop_gradient(params["z"])
-    z_b = z_a if new_z is None else jnp.asarray(new_z)
     kp = jax.lax.stop_gradient(params["kernel"])
     noise = jnp.exp(jax.lax.stop_gradient(params.get("raw_noise", jnp.asarray(0.0))))
 
     M_a = z_a.shape[0]
     eye_a = jnp.eye(M_a, dtype=z_a.dtype)
-    S_a = _var_cov(params)
-    m_a = params["var_mean"][:, None]
+    L_S = jnp.tril(jax.lax.stop_gradient(params["var_chol"]))
+    m_a = jax.lax.stop_gradient(params["var_mean"])[:, None]
     K_aa = model.kernel.matrix(kp, z_a, z_a) + jitter * eye_a
 
-    # D_a_inv = S_a^-1 - K_aa^-1 can be near-singular in directions where
-    # q(u) has collapsed to the prior; solve against a relatively
-    # regularized D_a_inv instead of forming explicit inverses.
-    S_a_inv = jnp.linalg.inv(S_a + jitter * eye_a)
-    K_aa_inv = jnp.linalg.inv(K_aa)
-    D_a_inv = S_a_inv - K_aa_inv
-    reg = 1e-4 * jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(D_a_inv))), 1e-6)
-    D_a_inv = D_a_inv + reg * eye_a
-    D_a = jnp.linalg.solve(D_a_inv, eye_a)
-    pseudo = jnp.linalg.solve(D_a_inv, S_a_inv @ m_a)
+    y = new_y.reshape(-1, 1)
+    if new_z is None:
+        z_b = z_a
+        K_bx = model.kernel.matrix(kp, z_a, new_x)
+        K_bb = K_aa
+        W = tri_solve(L_S, K_aa)          # S_a^{-1/2} K_ab
+        A = (K_bx @ K_bx.T) / noise + W.T @ W
+        rhs = K_bx @ y / noise + K_aa @ cho_solve(L_S, m_a)
+    else:
+        z_b = jnp.asarray(new_z)
+        eye_b = jnp.eye(z_b.shape[0], dtype=z_b.dtype)
+        K_bx = model.kernel.matrix(kp, z_b, new_x)
+        K_bb = model.kernel.matrix(kp, z_b, z_b) + jitter * eye_b
+        K_ba = model.kernel.matrix(kp, z_b, z_a)
+        L_K = psd_safe_cholesky(K_aa, jitter=jitter)
+        W = tri_solve(L_S, K_ba.T)        # S_a^{-1/2} K_ab
+        V = tri_solve(L_K, K_ba.T)        # K_aa^{-1/2} K_ab
+        A = K_bb + (K_bx @ K_bx.T) / noise + W.T @ W - V.T @ V
+        rhs = K_bx @ y / noise + K_ba @ cho_solve(L_S, m_a)
 
-    n = new_x.shape[0]
-    y_hat = jnp.concatenate([new_y.reshape(-1, 1), pseudo], axis=0)
-    sigma_top = noise * jnp.eye(n, dtype=new_x.dtype)
-    zeros = jnp.zeros((n, z_a.shape[0]), dtype=new_x.dtype)
-    sigma_hat = jnp.block([[sigma_top, zeros], [zeros.T, D_a]])
-
-    stacked = jnp.concatenate([new_x, z_a], axis=0)
-    K_fb = model.kernel.matrix(kp, stacked, z_b)
-    K_bb = model.kernel.matrix(kp, z_b, z_b) + jitter * jnp.eye(z_b.shape[0], dtype=z_b.dtype)
-    Lb = psd_safe_cholesky(K_bb, jitter=jitter)
-    # C can be indefinite (D_a is a difference of natural parameters), so
-    # use an LU solve like the reference's torch.solve, not a Cholesky.
-    C = K_fb @ cho_solve(Lb, K_fb.T) + sigma_hat
-    new_mean = (K_fb.T @ jnp.linalg.solve(C, y_hat))[:, 0]
-    new_cov = K_bb - K_fb.T @ jnp.linalg.solve(C, K_fb)
+    A = 0.5 * (A + A.T)
+    L_A = psd_safe_cholesky(A, jitter=jitter, tries=5)
+    new_mean = (K_bb @ cho_solve(L_A, rhs))[:, 0]
+    T = tri_solve(L_A, K_bb)              # A^{-1/2} K_bb
+    new_cov = T.T @ T
     new_cov = 0.5 * (new_cov + new_cov.T)
     new_chol = psd_safe_cholesky(new_cov, jitter=jitter, tries=5)
 

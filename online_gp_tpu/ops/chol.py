@@ -5,9 +5,11 @@ reference, e.g. ``online_gp/models/streaming_sgpr.py:79,126,138`` and
 ``variational_gp_model.py:199``): try a Cholesky, and if it produces NaNs,
 retry with a 10x larger diagonal jitter, a fixed number of times.
 
-JAX-correct version: all ``tries`` factorizations are expressed in one
-trace with ``lax.select`` picking the first finite one — no data-dependent
-Python control flow, so the op stays jittable and batchable.
+JAX-correct version: a ``lax.while_loop`` of gradient-free probes finds the
+first finite jitter level, then one differentiable factorization runs at
+that level — no data-dependent Python control flow, so the op stays
+jittable and batchable, and gradients never flow through a failed (NaN)
+factorization.
 """
 
 from __future__ import annotations
@@ -44,17 +46,48 @@ def psd_safe_cholesky(
     eye = jnp.eye(n, dtype=mat.dtype)
     diag_scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(mat, axis1=-2, axis2=-1)), axis=-1), 1.0)
 
-    def attempt(level: int) -> jnp.ndarray:
-        eps = jitter * (10.0 ** level)
-        shift = (eps * diag_scale)[..., None, None] * eye
-        return jnp.linalg.cholesky(mat + shift)
-
+    # Pick the jitter level with gradient-free probes, then run ONE
+    # differentiable factorization at the chosen level. Selecting among
+    # the attempts with jnp.where instead is a NaN-gradient trap: the
+    # VJP of a FAILED (NaN-valued) cholesky is NaN even under a zero
+    # cotangent (0 * nan), so whenever level 0 fails — routine for f32
+    # kernel Grams on TPU, whose blocked factorization gives up earlier
+    # than CPU LAPACK — every hyperparameter gradient through the solve
+    # chain is poisoned (observed as the first SVGP hyper step NaNing
+    # lengthscale/outputscale/z on-chip while CPU was healthy).
+    # The probe loop runs as a lax.while_loop so the common case (level 0
+    # succeeds everywhere) costs ONE probe factorization + one
+    # differentiable factorization, instead of materializing all `tries`
+    # attempts in the trace (the pre-round-4 jnp.where chain always paid
+    # for every level — and psd_safe_cholesky sits on the per-point
+    # full-update hot path at m=900).
     with _highest():
-        chol = attempt(0)
-        for level in range(1, tries):
-            ok = jnp.isfinite(chol).all(axis=(-2, -1), keepdims=True)
-            chol = jnp.where(ok, chol, attempt(level))
-        return chol
+        probe_mat = jax.lax.stop_gradient(mat)
+
+        def probe_ok(level):
+            shift = (jitter * (10.0 ** level) * diag_scale)[..., None, None] * eye
+            return jnp.isfinite(jnp.linalg.cholesky(probe_mat + shift)).all(
+                axis=(-2, -1)
+            )
+
+        def cond(state):
+            level, _, done = state
+            return (level < tries) & ~done.all()
+
+        def body(state):
+            level, chosen, done = state
+            ok = probe_ok(level.astype(mat.dtype))
+            chosen = jnp.where(ok & ~done, level.astype(mat.dtype), chosen)
+            return level + 1, chosen, done | ok
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            jnp.full(diag_scale.shape, float(tries - 1), mat.dtype),
+            jnp.zeros(diag_scale.shape, bool),
+        )
+        _, chosen, _ = jax.lax.while_loop(cond, body, init)
+        eps = jitter * (10.0 ** chosen) * diag_scale
+        return jnp.linalg.cholesky(mat + eps[..., None, None] * eye)
 
 
 def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, trans: bool = False) -> jnp.ndarray:

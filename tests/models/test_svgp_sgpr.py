@@ -220,3 +220,58 @@ class TestExactEstep:
 
         assert rmse_em < 0.3, f"EM fit rmse {rmse_em}"
         assert rmse_em <= rmse_grad + 1e-6, (rmse_em, rmse_grad)
+
+    def test_snapshot_indefinite_gram_streaming_finite(self):
+        """Regression: an f32 RBF gram over clustered inducing points can be
+        numerically indefinite (~-1e-5 eigenvalues); svgp_snapshot must
+        floor prior_cov so the first online streaming correction stays
+        finite (observed as immediate NaN on the quality-suite stream under
+        variational_mode='closed_form')."""
+        from online_gp_tpu.models.svgp import svgp_exact_estep
+
+        key = jax.random.PRNGKey(7)
+        # 96 inducing points in 3 tight clusters -> near-singular Kzz whose
+        # f32 eigenvalues dip below zero
+        centers = jnp.asarray([[-0.5, 0.0], [0.4, 0.3], [0.1, -0.6]], dtype=DT)
+        z = (centers[jnp.arange(96) % 3]
+             + 1e-3 * jax.random.normal(key, (96, 2), dtype=DT))
+        model = SVGPModel(RBFKernel())
+        params = svgp_init_variational_to_prior(
+            model, model.init_params(z, 2, lengthscale=1.0)
+        )
+        kx, ky = jax.random.split(key)
+        x = jax.random.uniform(kx, (64, 2), minval=-1, maxval=1, dtype=DT)
+        y = jnp.sin(2 * x[:, 0]) + 0.05 * jax.random.normal(ky, (64,), dtype=DT)
+        # collapse q(u) with the exact E-step (the regime that exposed it)
+        params = svgp_exact_estep(model, params, x, y)
+        old = svgp_snapshot(model, params)
+        assert float(jnp.linalg.eigvalsh(old.prior_cov).min()) > 0.0
+        assert float(jnp.linalg.eigvalsh(old.var_cov).min()) > 0.0
+        new_params = svgp_closed_form_update(model, params, x[:1], y[:1])
+        corr = svgp_streaming_correction(model, new_params, old, 1, 1e-3)
+        assert bool(jnp.isfinite(corr)), float(corr)
+
+    def test_streaming_correction_singular_projected_cov(self):
+        """Regression: the Bui correction must never factorize q_new's
+        projected covariance S0 — after a closed-form E-step S0 is
+        numerically singular past any jitter and chol(S0) NaNs the
+        correction VALUE on TPU (difference form cancels -logdet S0)."""
+        x, y = _sine_data(64)
+        model = SVGPModel(RBFKernel())
+        z = x[:32]
+        params = svgp_init_variational_to_prior(
+            model, model.init_params(z, 1, lengthscale=0.5)
+        )
+        old = svgp_snapshot(model, params)
+        # collapse q(u) to (numerically) zero posterior variance: S0 at
+        # old.z is then singular far past what jitter escalation covers
+        params["var_chol"] = 1e-6 * jnp.eye(32, dtype=DT)
+
+        def corr(p):
+            return svgp_streaming_correction(model, p, old, 4, 1.0)
+
+        val, grad = jax.value_and_grad(corr)(params)
+        assert bool(jnp.isfinite(val)), float(val)
+        for k, g in grad.items():
+            for leaf in jax.tree.leaves(g):
+                assert bool(jnp.isfinite(leaf).all()), k
