@@ -181,7 +181,14 @@ class _OnlineSVGPBase:
 
     # -- public API --------------------------------------------------------
 
-    def fit(self, inputs, targets, num_epochs: int, test_dataset=None, batch_size: int = 1024):
+    def fit(self, inputs, targets, num_epochs: int, test_dataset=None, batch_size: int = 1024,
+            batch_stream: bool = True):
+        """Shuffled minibatch ELBO epochs (reference ``fit``, regression
+        lines 57-91). ``batch_stream=True`` (default) feeds host batches
+        through :class:`online_gp_tpu.native.BatchStream` — the C++
+        Fisher-Yates ring + memcpy row gather when the native .so is
+        built, numpy fallback otherwise; ``False`` keeps the pure-numpy
+        permutation path (fixed shuffle seed either way)."""
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
         targets = jnp.asarray(targets)
         n = inputs.shape[0]
@@ -227,13 +234,25 @@ class _OnlineSVGPBase:
                 )
             self.params = self._jit_cache[key](self.params, feats, targets)
 
+        stream = None
+        if batch_stream:
+            from online_gp_tpu.native import BatchStream
+
+            stream = BatchStream(
+                np.asarray(inputs), np.asarray(targets), batch_size=bs, shuffle=True, seed=0
+            )
+
         if closed:
             estep()  # the hyper M-steps start from a sensible q(u)
         for epoch in range(num_epochs):
-            perm = rng.permutation(n)
+            perm = None if batch_stream else rng.permutation(n)
             avg_loss, num_batches = 0.0, 0
             for start in range(0, n - bs + 1, bs):
-                idx = perm[start : start + bs]
+                if stream is not None:
+                    xb, yb = stream.next()
+                else:
+                    idx = perm[start : start + bs]
+                    xb, yb = inputs[idx], targets[idx]
                 step = self._train_step_fn(bs, n, 1.0, False)
                 (
                     self.params,
@@ -249,8 +268,8 @@ class _OnlineSVGPBase:
                     self.opt_state,
                     self.stem_opt_state,
                     None,
-                    inputs[idx],
-                    targets[idx],
+                    xb,
+                    yb,
                 )
                 avg_loss += float(loss)
                 num_batches += 1

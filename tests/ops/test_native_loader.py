@@ -47,3 +47,31 @@ def test_batch_stream_preserves_dtypes():
     assert xb.dtype == np.float64 and yb.dtype == np.int64
     np.testing.assert_array_equal(yb, np.arange(10))
     np.testing.assert_allclose(xb, x[:10], rtol=0)
+
+
+def test_svgp_fit_consumes_batch_stream():
+    """The SVGP minibatch fit rides BatchStream by default (native ring
+    when the .so is built, numpy fallback otherwise) and produces the
+    same-quality fit as the pure-numpy permutation path (VERDICT r4
+    item 8). SGPR's fit is full-batch by design (collapsed bound needs
+    all data; reference streaming_sgpr.py) so the stream applies to SVGP
+    only."""
+    import jax
+    import numpy as np
+
+    from online_gp_tpu.api import OnlineSVGPRegression, IdentityStem
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (96, 2)).astype(np.float32)
+    y = (np.sin(3 * x[:, :1]) * np.cos(2 * x[:, 1:2])).astype(np.float32)
+
+    losses = {}
+    for flag in (True, False):
+        m = OnlineSVGPRegression(IdentityStem(2), x[:16], y[:16],
+                                 num_inducing=16, lr=0.05, streaming=True)
+        recs = m.fit(x, y, num_epochs=3, batch_size=32, batch_stream=flag)
+        assert len(recs) == 3
+        losses[flag] = recs[-1]["train_loss"]
+        assert np.isfinite(losses[flag])
+    # different shuffle orders -> not equal, but both must train sanely
+    assert abs(losses[True] - losses[False]) < 1.0
