@@ -19,6 +19,12 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus an
     32 (the drivers' ``batch_size``/``chunk_size`` recipe for
     hyper-adaptive streams — per-chunk stem+hyper steps, exact rank-32
     conditioning).
+  - lowrank_stream_m4096_rank512_per_sec: large-grid streaming
+    conditioning through the rank-capped core (64^2 grid, rank-512
+    buffer — the reference's max_root_decomposition_size regime).
+  - iterative_mll_hyper_steps_m4096_per_sec: one hyper step through the
+    CG/SLQ/Toeplitz MLL past max_cholesky_size (the reference's
+    gpytorch inv_quad_logdet regime, config/regression.yaml:24-27).
 Each mode is correctness-gated before timing.
 """
 
@@ -142,6 +148,15 @@ def main():
         if "--no-chunk32" in sys.argv
         else bench_full_update_stale(model, grid, d, refresh_every=8)
     )
+    # large-grid scaling arms (VERDICT r4 item 3): the framework's story
+    # past max_cholesky_size — rank-capped streaming conditioning and the
+    # CG/SLQ/Toeplitz MLL hyper step, both at m=4096.
+    # Skippable for a minimal run: python bench.py --no-scaling
+    if "--no-scaling" in sys.argv:
+        lowrank_pps = iter_hps = None
+    else:
+        lowrank_pps = bench_lowrank_stream(m_grid=64, rank=512, chunk=256)
+        iter_hps = bench_iterative_hyper_step(m_grid=64)
 
     print(
         json.dumps(
@@ -161,6 +176,16 @@ def main():
                     **(
                         {"full_update_stale_cache_per_sec": round(full_stale, 1)}
                         if full_stale is not None
+                        else {}
+                    ),
+                    **(
+                        {"lowrank_stream_m4096_rank512_per_sec": round(lowrank_pps, 1)}
+                        if lowrank_pps is not None
+                        else {}
+                    ),
+                    **(
+                        {"iterative_mll_hyper_steps_m4096_per_sec": round(iter_hps, 2)}
+                        if iter_hps is not None
                         else {}
                     ),
                 },
@@ -443,6 +468,180 @@ def bench_full_update_stale(model, grid, d, refresh_every: int = 8):
         carry, losses = run(params, stem_params, state, xs, ys)
         _ = float(carry[0]["kernel"]["raw_lengthscale"].ravel()[0])
         best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
+def bench_lowrank_stream(m_grid: int = 64, rank: int = 512, chunk: int = 256):
+    """Large-grid streaming conditioning through the rank-capped core
+    (VERDICT r4 item 3a): m = m_grid^2 inducing points, rank-``rank`` root
+    buffer (the reference's ``max_root_decomposition_size`` regime,
+    ``config/regression.yaml:24-27``), exact O(m q) column appends with
+    amortized top-rank compression (``wiski_lowrank_condition``).
+
+    Correctness gate BEFORE timing: in the exact regime (data columns
+    <= rank, no compression yet) the low-rank posterior mean must match a
+    dense SKI oracle (materialized W and K_uu) to f32 tolerance.
+    Returns points/s over a compression-exercising stream.
+    """
+    from online_gp_tpu.kernels import RBFKernel
+    from online_gp_tpu.ops import Grid
+    from online_gp_tpu.ops.interp import interp_coeffs, dense_w
+    from online_gp_tpu.kernels.grid_kernel import grid_kuu_dense
+    from online_gp_tpu.models.wiski_lowrank import (
+        WiskiLowRankModel,
+        wiski_lowrank_init,
+        wiski_lowrank_condition,
+        wiski_lowrank_predict,
+    )
+
+    d = 2
+    grid = Grid.create([(-1.1, 1.1)] * d, m_grid)
+    m = grid.num_points
+    model = WiskiLowRankModel(RBFKernel(), grid, rank=rank)
+    params = model.init_params(d)
+
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    # seed size <= rank: the init absorb stays inside the exact regime
+    # (no compression yet), which is what the oracle gate below assumes
+    n0 = min(256, rank // 2)
+    x0 = jax.random.uniform(kx, (n0, d), minval=-1, maxval=1)
+    y0 = jnp.sin(3 * x0[:, :1])
+    n0_arr = jnp.ones_like(y0)
+    state = wiski_lowrank_init(model, x0, y0, n0_arr, params=params)
+
+    # -- gate: exact-regime posterior mean vs dense SKI oracle ------------
+    xt = jax.random.uniform(jax.random.fold_in(key, 7), (64, d), minval=-1, maxval=1)
+
+    @jax.jit
+    def lr_mean(state, xt):
+        mean, _ = wiski_lowrank_predict(model, params, state, xt)
+        return mean
+
+    @jax.jit
+    def oracle_mean(xt):
+        # f32 matmuls pinned: at m=4096 the TPU's default bf16 passes put
+        # the ORACLE 4e-3 off, tripping the gate on oracle error
+        with jax.default_matmul_precision("float32"):
+            kuu = grid_kuu_dense(model.kernel, params["kernel"], grid)
+            idx, w = interp_coeffs(grid, x0, detach=True)
+            W = dense_w(idx, w, m).T  # (n0, m)
+            idx_t, w_t = interp_coeffs(grid, xt, detach=True)
+            Wt = dense_w(idx_t, w_t, m).T  # (nt, m)
+            K = W @ kuu @ W.T + jnp.eye(n0)
+            return (Wt @ kuu @ W.T @ jnp.linalg.solve(K, y0))[:, 0]
+
+    got = lr_mean(state, xt)
+    want = oracle_mean(xt)
+    err = float(jnp.max(jnp.abs(got - want)))
+    scale = float(jnp.max(jnp.abs(want)))
+    assert err <= 3e-3 * max(scale, 1.0), (
+        f"lowrank/dense posterior-mean drift {err:.3e} at m={m} — refusing to bench"
+    )
+
+    # -- timing: scanned rank-q appends with compressions firing ----------
+    n_chunks = 64  # 16384 points; compression fires every ~2 chunks
+    xs = jax.random.uniform(ky, (n_chunks, chunk, d), minval=-1, maxval=1)
+    ys = jnp.sin(3 * xs[..., :1])
+    ns = jnp.ones_like(ys)
+
+    @jax.jit
+    def stream(state, xs, ys, ns):
+        def step(s, inp):
+            xc, yc, nc = inp
+            return wiski_lowrank_condition(model, s, xc, yc, nc, params), 0.0
+
+        return jax.lax.scan(step, state, (xs, ys, ns))[0]
+
+    out = stream(state, xs, ys, ns)
+    jax.block_until_ready(out.root)
+    assert int(out.num_data) == n0 + n_chunks * chunk
+    n = n_chunks * chunk
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = stream(state, xs, ys, ns)
+        _ = float(out.root[0, 0])
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
+def bench_iterative_hyper_step(m_grid: int = 64):
+    """One full hyper step through the CG/SLQ/Toeplitz MLL at m = m_grid^2
+    (VERDICT r4 item 3b): the scaling path past ``max_cholesky_size`` —
+    the reference's gpytorch ``inv_quad_logdet`` regime
+    (``config/regression.yaml:24-27`` pins max_cholesky_size=2048, so its
+    large-grid runs take exactly this route). Value+grad of ``wiski_mll``
+    via ``_mll_inner_iterative`` (batched CG qform, SLQ logdet with
+    Hutchinson-surrogate gradient, Toeplitz K_uu MVMs) + one adam update.
+
+    Correctness gate: the iterative MLL value must match the dense-
+    Cholesky MLL on the same state within CG/SLQ tolerance.
+    Returns hyper steps/s.
+    """
+    import optax
+    from online_gp_tpu.config import SolverConfig
+    from online_gp_tpu.kernels import RBFKernel
+    from online_gp_tpu.ops import Grid
+    from online_gp_tpu.models.wiski import WiskiModel, wiski_init, wiski_mll
+
+    d = 2
+    grid = Grid.create([(-1.1, 1.1)] * d, m_grid)
+    m = grid.num_points
+    model = WiskiModel(RBFKernel(), grid, num_outputs=1, learn_additional_noise=True)
+    params = model.init_params(d)
+
+    key = jax.random.PRNGKey(0)
+    kx, _ = jax.random.split(key)
+    x0 = jax.random.uniform(kx, (1024, d), minval=-1, maxval=1)
+    y0 = jnp.sin(3 * x0[:, :1])
+    state = wiski_init(model, x0, y0, jnp.ones_like(y0))
+
+    # reference global settings: max_cholesky_size=2048 < m=4096 forces
+    # the CG/SLQ route; dense cfg is the oracle for the gate
+    cfg_iter = SolverConfig().replace(max_cholesky_size=2048, use_toeplitz=True)
+    cfg_dense = SolverConfig().replace(max_cholesky_size=2 * m)
+
+    val_iter = float(
+        jax.jit(lambda p: jnp.sum(wiski_mll(model, p, state, cfg_iter)))(params)
+    )
+    val_dense = float(
+        jax.jit(lambda p: jnp.sum(wiski_mll(model, p, state, cfg_dense)))(params)
+    )
+    rel = abs(val_iter - val_dense) / max(abs(val_dense), 1.0)
+    assert rel <= 5e-2, (
+        f"iterative/dense MLL mismatch {rel:.3e} at m={m} "
+        f"({val_iter:.4f} vs {val_dense:.4f}) — refusing to bench"
+    )
+
+    opt = optax.adam(1e-2)
+
+    @jax.jit
+    def hyper_step(params, opt_state, step_i):
+        def loss(p):
+            return -jnp.sum(
+                wiski_mll(model, p, state, cfg_iter,
+                          slq_key=jax.random.fold_in(jax.random.PRNGKey(1), step_i))
+            )
+
+        l, g = jax.value_and_grad(loss)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state, l
+
+    opt_state = opt.init(params)
+    p, os_, l = hyper_step(params, opt_state, 0)
+    jax.block_until_ready(l)
+    assert bool(jnp.isfinite(l)), "non-finite iterative-MLL loss"
+
+    n_steps = 10
+    best = 0.0
+    for _ in range(2):
+        p, os_ = params, opt.init(params)
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            p, os_, l = hyper_step(p, os_, i)
+        _ = float(l)
+        best = max(best, n_steps / (time.perf_counter() - t0))
     return best
 
 
