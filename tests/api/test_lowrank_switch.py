@@ -7,6 +7,7 @@ here ``OnlineSKIRegression`` routes to the rank-capped core when
 ``low_rank=`` is passed or the grid exceeds the dense limit.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +44,7 @@ def test_small_grid_stays_dense():
     assert type(w) is OnlineSKIRegression
 
 
+@pytest.mark.slow
 def test_multi_output_lowrank_stream():
     """Multi-output targets through the low-rank route: per-output hypers
     and caches over shared inputs (batched ``_b`` core), same L5 surface
@@ -76,6 +78,7 @@ def test_multi_output_lowrank_stream():
     assert rmse < 0.5, f"multi-output rmse {rmse}"
 
 
+@pytest.mark.slow
 def test_m8192_stream_sane_nll():
     """1-D m=8192 stream through the L5 API: per-step hyper fitting plus
     conditioning must leave a finite, sane NLL (the round-1 sigma^2

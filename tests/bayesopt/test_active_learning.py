@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_qnipv_wiski_reduces_variance():
     from online_gp_tpu.bayesopt.active_learning import run_active_learning
 
@@ -15,6 +16,7 @@ def test_qnipv_wiski_reduces_variance():
     assert recs[-1]["avg_variance"] < recs[0]["avg_variance"]
 
 
+@pytest.mark.slow
 def test_qnipv_exact_arm_runs():
     from online_gp_tpu.bayesopt.active_learning import run_active_learning
 
@@ -23,6 +25,7 @@ def test_qnipv_exact_arm_runs():
     assert np.isfinite(out["records"][-1]["test_rmse"])
 
 
+@pytest.mark.slow
 def test_mpv_osvgp_runs_and_contracts_variance():
     from online_gp_tpu.bayesopt.mpv_osvgp import run_mpv_osvgp
 

@@ -61,6 +61,7 @@ def test_qucb_exceeds_mean(wiski_posterior):
     assert float(val) > float(mean[0, 0])
 
 
+@pytest.mark.slow
 def test_qnipv_prefers_unexplored(wiski_posterior):
     model, params, state, x = wiski_posterior
     mc = jax.random.uniform(jax.random.PRNGKey(2), (128, 2), minval=-1, maxval=1)
@@ -75,6 +76,7 @@ def test_qnipv_prefers_unexplored(wiski_posterior):
     assert bool(jnp.isfinite(g).all())
 
 
+@pytest.mark.slow
 def test_qkg_and_qnei_finite(wiski_posterior):
     model, params, state, x = wiski_posterior
     key = jax.random.PRNGKey(3)
@@ -87,6 +89,7 @@ def test_qkg_and_qnei_finite(wiski_posterior):
     assert float(nei) >= 0.0
 
 
+@pytest.mark.slow
 def test_bayesopt_loop_improves():
     jax.config.update("jax_platforms", "cpu")
     from online_gp_tpu.bayesopt.loop import run_bayesopt
@@ -119,6 +122,7 @@ def test_qucb_qbatch_mc_form(wiski_posterior):
     assert float(mc2) >= float(analytic) - 0.02  # within MC noise
 
 
+@pytest.mark.slow
 def test_qkg_optimized_lookahead_beats_grid(wiski_posterior):
     """Gradient-refined lookahead must dominate the grid-only form (the
     inner max is seeded at the discrete argmax and only moves uphill)."""
@@ -184,6 +188,7 @@ def test_bayesopt_resume_continues_campaign(tmp_path):
                      verbose=False, resume_from=ckpt)
 
 
+@pytest.mark.slow
 def test_qmves_joint_sampler_vs_gumbel(wiski_posterior):
     """The joint max-value sampler prices cross-candidate covariance: on a
     candidate set of N COPIES of one point the true max-value distribution
@@ -211,6 +216,7 @@ def test_qmves_joint_sampler_vs_gumbel(wiski_posterior):
     assert bool(jnp.isfinite(g).all())
 
 
+@pytest.mark.slow
 def test_qkg_multistart_dominates_single_start(wiski_posterior):
     """Multi-start inner maximization includes the single-start seed, so
     its value can only match or beat the single-start lookahead
@@ -250,6 +256,7 @@ def test_lbfgs_fit_beats_adam_at_same_budget(wiski_posterior):
     assert losses["lbfgs"] <= losses["adam"] + 1e-6
 
 
+@pytest.mark.slow
 def test_bayesopt_lbfgs_loop_and_checkpoint(tmp_path):
     """End-to-end lbfgs BO arm runs, improves, and persists a restorable
     final surrogate (params + caches + queried data)."""
@@ -275,6 +282,7 @@ def test_bayesopt_lbfgs_loop_and_checkpoint(tmp_path):
     assert bool(jnp.isfinite(mean).all() & jnp.isfinite(var).all())
 
 
+@pytest.mark.slow
 def test_qmves_qbatch_discounts_correlated_candidates(wiski_posterior):
     """q>1 MVES uses the sequential fantasy decomposition (botorch's
     qMaxValueEntropy strategy): a duplicated candidate must add far less

@@ -18,6 +18,7 @@ def test_explicit_low_rank_routes():
     assert w.model.rank == 64
 
 
+@pytest.mark.slow
 def test_big_grid_auto_routes_and_learns_banana():
     """grid 72^2 = 5184 > DENSE_GRID_LIMIT auto-routes to the rank-capped
     core; banana stays learnable through fit + streaming updates."""

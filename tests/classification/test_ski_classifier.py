@@ -28,6 +28,7 @@ def test_batch_eye_stem(banana):
     assert acc <= 0.97, f"banana too easy ({acc}); reference thresholds wouldn't discriminate"
 
 
+@pytest.mark.slow
 def test_batch_linear_stem(banana):
     tr_x, tr_y, te_x, te_y = banana
     clf = OnlineSKIClassifier(LinearStem(2, 2), tr_x[:100], tr_y[:100], alpha_eps=0.01, lr=0.05, grid_size=16, grid_bound=1.0)
@@ -35,6 +36,7 @@ def test_batch_linear_stem(banana):
     assert clf.evaluate(te_x, te_y) >= 0.75
 
 
+@pytest.mark.slow
 def test_online_eye_stem(banana):
     tr_x, tr_y, te_x, te_y = banana
     n_init = 100

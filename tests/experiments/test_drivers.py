@@ -27,6 +27,7 @@ def test_config_rejects_unknown():
         parse_config(["--flag"])
 
 
+@pytest.mark.slow
 def test_regression_driver_end_to_end(tmp_path):
     from online_gp_tpu.experiments.regression import regression_trial
 
@@ -83,6 +84,7 @@ def test_regression_driver_checkpoint_resume(tmp_path):
     assert np.isfinite(rmse2)
 
 
+@pytest.mark.slow
 def test_fixed_noise_both_arms(tmp_path):
     """``arm=both`` runs the WISKI and exact-GP timing arms on the same
     stream and writes the side-by-side comparison CSV (the reference's
@@ -105,6 +107,7 @@ def test_fixed_noise_both_arms(tmp_path):
         assert col in header, col
 
 
+@pytest.mark.slow
 def test_classification_driver_end_to_end(tmp_path):
     from online_gp_tpu.experiments.classification import classification_trial
 
@@ -204,6 +207,7 @@ def test_fused_stream_matches_per_step_loop():
     assert int(b.state.num_data) == n_before
 
 
+@pytest.mark.slow
 def test_svgp_variational_mode_config(tmp_path):
     """``model.variational_mode=closed_form`` reaches the SVGP wrapper
     through the config registry and the driver runs the variational-EM

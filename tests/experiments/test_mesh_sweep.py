@@ -13,6 +13,7 @@ from online_gp_tpu.experiments.sweep import mesh_regression_sweep, run_sweep
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_mesh_sweep_arbitrary_config(tmp_path):
     num_trials = 8
     results = mesh_regression_sweep(

@@ -1,5 +1,6 @@
 """Checkpoint roundtrip + BayesOpt adapter + maintenance utilities."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def test_exemplar_free_restore_rebuilds_namedtuples(tmp_path):
     assert isinstance(restored["extras"][2], tuple)
 
 
+@pytest.mark.slow
 def test_optional_component_restores_into_fresh_wrapper(tmp_path):
     """A checkpoint saved WITH sgpr moments/old must load into a fresh
     wrapper whose moments/old are still None (ADVICE round 1)."""
@@ -91,6 +93,7 @@ def test_optional_component_restores_into_fresh_wrapper(tmp_path):
     assert abs(r0[0] - r1[0]) < 1e-7
 
 
+@pytest.mark.slow
 def test_adapter_posterior_fantasize_condition():
     r, (tx, ty, ex, ey) = _fitted()
     adapter = WiskiBayesOptModel(r.model, r.params, r.state)

@@ -1,5 +1,6 @@
 """Masked-buffer exact GP + LocalGP expert-mixture tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ from online_gp_tpu.models.localgp import (
 DT = jnp.float64
 
 
+@pytest.mark.slow
 def test_masked_mll_matches_dense():
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (13, 2), minval=-1, maxval=1, dtype=DT)
@@ -71,6 +73,7 @@ def test_exact_posterior_interpolates():
     np.testing.assert_allclose(np.asarray(mean[0]), np.asarray(y[:, 0]), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_localgp_routing_and_mixture():
     rng = np.random.default_rng(0)
     x = rng.uniform(-1, 1, (120, 1)).astype(np.float32)

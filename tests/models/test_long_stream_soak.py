@@ -14,6 +14,7 @@ Grid 20^2 (m=400) keeps the CPU-CI runtime under the 120 s budget while
 staying in the same blocked-recursion regime as the m=900 flagship.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ N_STREAM = 100_352  # >= 1e5, whole 4096-blocks
 REFRESH_EVERY = 4096  # production cadence: re-anchor roots every 4k points
 
 
+@pytest.mark.slow
 def test_long_stream_f32_drift_bounded_and_tracks_f64_oracle():
     d = 2
     grid = Grid.create([(-1.1, 1.1)] * d, 20)  # m = 400

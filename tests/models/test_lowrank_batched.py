@@ -1,6 +1,7 @@
 """Batched (multi-output) low-rank core: vmapped variants must match the
 single-output functions output-by-output (f64)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +38,7 @@ def _setup(B=3, n=48, d=1):
     return model, params, x, y, noise, B
 
 
+@pytest.mark.slow
 def test_batched_matches_per_output():
     model, params, x, y, noise, B = _setup()
     cfg = SolverConfig()

@@ -6,6 +6,7 @@ update (batched_fixed_noise_online_gp.py:369-404 memo-dump)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from online_gp_tpu.config import SolverConfig
 from online_gp_tpu.kernels.base import RBFKernel
@@ -37,6 +38,7 @@ def _setup(num_outputs=1):
     return model, params, state
 
 
+@pytest.mark.slow
 def test_pred_cache_condition_matches_rebuild():
     for B in (1, 2):
         model, params, state = _setup(B)

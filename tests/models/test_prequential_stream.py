@@ -6,6 +6,7 @@ per-point predictions, final predictive caches, and final state all match
 the {wiski_predict -> wiski_pred_cache_condition -> wiski_condition}
 sequential oracle."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,16 +91,19 @@ def _assert_matches(model, params, state, dtype, block_size, tol, n=21):
     )
 
 
+@pytest.mark.slow
 def test_prequential_stream_matches_sequential_f64():
     model, params, state = _setup(1, jnp.float64)
     _assert_matches(model, params, state, jnp.float64, block_size=8, tol=1e-6)
 
 
+@pytest.mark.slow
 def test_prequential_stream_multioutput_f64():
     model, params, state = _setup(3, jnp.float64)
     _assert_matches(model, params, state, jnp.float64, block_size=8, tol=1e-6)
 
 
+@pytest.mark.slow
 def test_prequential_stream_single_chunk_and_ragged():
     # n < block (single padded chunk) and n not a multiple of block
     model, params, state = _setup(1, jnp.float64)
@@ -107,6 +111,7 @@ def test_prequential_stream_single_chunk_and_ragged():
     _assert_matches(model, params, state, jnp.float64, block_size=4, tol=1e-6, n=11)
 
 
+@pytest.mark.slow
 def test_pred_chunk_pallas_interpret_parity_f32():
     """The fused Pallas pred-chunk kernel (interpret mode on CPU) matches
     the XLA factor recursion at f32, single-output and batched."""

@@ -51,6 +51,7 @@ def _flat(tree):
     return jnp.concatenate([a.ravel() for a in jax.tree.leaves(tree)])
 
 
+@pytest.mark.slow
 def test_iterative_mll_tracks_dense():
     """m > max_cholesky_size routes to CG+SLQ; value within SLQ noise of the
     dense answer and gradient nearly parallel to the dense gradient."""
@@ -129,6 +130,7 @@ def test_fast_pred_samples_full_rank_matches_exact():
     np.testing.assert_allclose(v1, v0, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fast_pred_samples_rank_cap_shapes():
     """max_root_decomposition_size caps the sampling root's rank."""
     model, params, state, x = _setup()
@@ -144,6 +146,7 @@ def test_fast_pred_samples_rank_cap_shapes():
     assert bool(jnp.isfinite(var_c).all()) and bool((var_c >= 0).all())
 
 
+@pytest.mark.slow
 def test_iterative_mll_multioutput():
     """The per-output loop handles B > 1 (classification batches)."""
     model, params, state, _ = _setup(num_outputs=3)
@@ -172,6 +175,7 @@ def _slice_output(model, params, state, b):
     return model_b, params_b, state_b
 
 
+@pytest.mark.slow
 def test_fast_pred_var_multi_output_vmapped_matches_per_output():
     """A 10-class model under rank-capped fast_pred_var runs the LOVE
     Lanczos as ONE vmapped program (VERDICT r3 item 4); outputs equal the
@@ -194,6 +198,7 @@ def test_fast_pred_var_multi_output_vmapped_matches_per_output():
         np.testing.assert_allclose(np.asarray(var[b]), np.asarray(v_b[0]), rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fast_pred_samples_multi_output_vmapped_matches_per_output():
     """Rank-capped wiski_predict_root vmaps its Lanczos over outputs; the
     interpolated covariance roots span the same subspace per output as the

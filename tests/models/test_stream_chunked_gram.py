@@ -8,6 +8,7 @@ chunked accumulator against the single-shot densification, and (b) a
 long-stream (n > 2*seg) absorb that matches sequential conditioning.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def _setup(grid_size=8):
     return model, state
 
 
+@pytest.mark.slow
 def test_long_stream_gram_matches_sequential():
     """n = 4500 > 2*2048 forces the chunked accumulator (with a padded
     final segment); the result must equal point-by-point conditioning's

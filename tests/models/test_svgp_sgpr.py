@@ -49,6 +49,7 @@ class TestSVGP:
             params = optax.apply_updates(params, up)
         return model, params, x, y
 
+    @pytest.mark.slow
     def test_elbo_training_fits(self):
         model, params, x, y = self._trained()
         mean, var = svgp_predict(model, params, x)
@@ -95,6 +96,7 @@ class TestSGPR:
             params = optax.apply_updates(params, up)
         return model, params, x, y
 
+    @pytest.mark.slow
     def test_bound_fit_and_absorb(self):
         model, params, x, y = self._trained()
         params, old, mo = sgpr_absorb(model, params, None, None, x[:150], y[:150])
@@ -102,6 +104,7 @@ class TestSGPR:
         assert float(jnp.sqrt(jnp.mean((mean - y) ** 2))) < 0.2
         assert bool((var > 0).all())
 
+    @pytest.mark.slow
     def test_exact_stream_no_leak(self):
         model, params, x, y = self._trained()
         params, old, mo = sgpr_absorb(model, params, None, None, x[:150], y[:150])
@@ -115,6 +118,7 @@ class TestSGPR:
         streamed = float(jnp.sqrt(jnp.mean((mean - y) ** 2)))
         assert streamed < base + 0.03  # 150 single-point absorbs, no drift
 
+    @pytest.mark.slow
     def test_stream_matches_batch(self):
         model, params, x, y = self._trained()
         p1, o1, m1 = sgpr_absorb(model, params, None, None, x, y)
@@ -132,6 +136,7 @@ class TestSGPR:
         moved = int(jnp.sum(jnp.any(jnp.abs(z_new - params["z"]) > 1e-3, axis=-1)))
         assert moved >= 3  # 25% of 16
 
+    @pytest.mark.slow
     def test_bound_uses_old_state(self):
         model, params, x, y = self._trained()
         params, old, mo = sgpr_absorb(model, params, None, None, x[:150], y[:150])
@@ -142,6 +147,7 @@ class TestSGPR:
 
 
 class TestExactEstep:
+    @pytest.mark.slow
     def test_estep_is_elbo_optimal(self):
         """svgp_exact_estep lands on the collapsed-posterior optimum: its
         ELBO dominates the prior init AND a 200-step gradient-trained
@@ -175,6 +181,7 @@ class TestExactEstep:
             p = optax.apply_updates(p, up)
         assert elbo(star) >= elbo(p) - 1e-3
 
+    @pytest.mark.slow
     def test_estep_matches_bui_update_from_prior(self):
         """From a prior-reset q(a) the Bui pseudo-observation update and
         the direct collapsed form compute the same optimum."""
@@ -195,6 +202,7 @@ class TestExactEstep:
         Sb = b["var_chol"] @ b["var_chol"].T
         np.testing.assert_allclose(np.asarray(Sa), np.asarray(Sb), atol=5e-3)
 
+    @pytest.mark.slow
     def test_closed_form_fit_recovers_small_init(self):
         """variational_mode='closed_form' fit succeeds where the same-budget
         pure-gradient fit stalls: 150 points, 30 epochs (the online
@@ -221,6 +229,7 @@ class TestExactEstep:
         assert rmse_em < 0.3, f"EM fit rmse {rmse_em}"
         assert rmse_em <= rmse_grad + 1e-6, (rmse_em, rmse_grad)
 
+    @pytest.mark.slow
     def test_snapshot_indefinite_gram_streaming_finite(self):
         """Regression: an f32 RBF gram over clustered inducing points can be
         numerically indefinite (~-1e-5 eigenvalues); svgp_snapshot must
@@ -251,6 +260,7 @@ class TestExactEstep:
         corr = svgp_streaming_correction(model, new_params, old, 1, 1e-3)
         assert bool(jnp.isfinite(corr)), float(corr)
 
+    @pytest.mark.slow
     def test_streaming_correction_singular_projected_cov(self):
         """Regression: the Bui correction must never factorize q_new's
         projected covariance S0 — after a closed-form E-step S0 is

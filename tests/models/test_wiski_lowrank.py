@@ -29,6 +29,7 @@ def _data(n=120, seed=0):
     return x, y[:, None]
 
 
+@pytest.mark.slow
 def test_full_rank_matches_dense():
     x, y = _data()
     noise = jnp.full_like(y, 0.1)
@@ -52,6 +53,7 @@ def test_full_rank_matches_dense():
     np.testing.assert_allclose(np.asarray(vl), np.asarray(vd[0]), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_rank_capped_still_accurate():
     x, y = _data(n=200)
     noise = jnp.full_like(y, 0.1)
@@ -66,6 +68,7 @@ def test_rank_capped_still_accurate():
     assert bool((var > 0).all())
 
 
+@pytest.mark.slow
 def test_condition_tracks_dense():
     x, y = _data(n=80)
     noise = jnp.full_like(y, 0.1)
@@ -87,6 +90,7 @@ def test_condition_tracks_dense():
     np.testing.assert_allclose(mll_l, mll_d, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_large_grid_smoke():
     # m = 4096 — the dense path would need a 4096^2 root init per epoch;
     # here init is chunked exact-append + top-64 compression, and the
@@ -109,6 +113,7 @@ def test_large_grid_smoke():
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_append_compress_stream_improves():
     """Streaming must IMPROVE the posterior (the exact append) and the
     buffer must compress when full (used resets toward rank).
@@ -135,6 +140,7 @@ def test_append_compress_stream_improves():
     assert streamed < base + 0.02  # no degradation; typically improves
 
 
+@pytest.mark.slow
 def test_kernel_aware_compression_tracks_dense():
     """Passing hypers into conditioning makes buffer compression truncate
     the WHITENED evidence operator K^{1/2} A K^{1/2} (eigh of L^T K L)

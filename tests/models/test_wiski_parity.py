@@ -57,6 +57,7 @@ def _oracle_mll(model, params, x, y, noise):
 
 
 @pytest.mark.parametrize("B", [1, 3])
+@pytest.mark.slow
 def test_mll_value_parity(B):
     model, params, x, y, noise = _setup(B=B)
     state = wiski_init(model, x, y, noise, root_jitter=1e-12)
@@ -66,6 +67,7 @@ def test_mll_value_parity(B):
 
 
 @pytest.mark.parametrize("learn_noise", [False, True])
+@pytest.mark.slow
 def test_mll_grad_parity(learn_noise):
     model, params, x, y, noise = _setup(B=2, learn_noise=learn_noise)
     state = wiski_init(model, x, y, noise, root_jitter=1e-12)
@@ -83,6 +85,7 @@ def test_mll_grad_parity(learn_noise):
     np.testing.assert_allclose(np.asarray(flat_w), np.asarray(flat_o), rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_posterior_parity():
     model, params, x, y, noise = _setup(B=2, n=25)
     state = wiski_init(model, x, y, noise, root_jitter=1e-12)
@@ -101,6 +104,7 @@ def test_posterior_parity():
         np.testing.assert_allclose(np.asarray(var[b]), np.asarray(v_ref), rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_posterior_root_consistency():
     model, params, x, y, noise = _setup(B=1, n=15)
     state = wiski_init(model, x, y, noise, root_jitter=1e-12)
@@ -112,6 +116,7 @@ def test_posterior_root_consistency():
     np.testing.assert_allclose(np.asarray(var_from_root), np.asarray(var), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_interleaved_observe_train_observe():
     """Condition point-by-point; MLL and posterior must track an oracle
     rebuilt from the concatenated data at every step (the stale-but-
@@ -143,6 +148,7 @@ def test_interleaved_observe_train_observe():
     np.testing.assert_allclose(np.asarray(mean[0]), np.asarray(m_ref), rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_batch_condition_matches_sequential():
     model, params, x, y, noise = _setup(B=2, n=16, seed=5)
     state0 = wiski_init(model, x[:8], y[:8], noise[:8], root_jitter=1e-12)

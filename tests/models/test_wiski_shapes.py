@@ -2,6 +2,7 @@
 ``tests/models/test_batched_online_ski_gp_model.py`` pattern: exact cache
 shapes, num_data bookkeeping, fantasy expansion."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def _model(B, d=1, grid_size=10):
     return WiskiModel(RBFKernel(), grid, num_outputs=B)
 
 
+@pytest.mark.slow
 def test_cache_shapes_batched():
     B, n, m = 2, 7, 10
     model = _model(B)
@@ -40,6 +42,7 @@ def test_cache_shapes_batched():
     assert int(state.num_data) == n
 
 
+@pytest.mark.slow
 def test_condition_bumps_num_data():
     model = _model(1)
     x = jnp.linspace(-1, 1, 5, dtype=DT)[:, None]
@@ -51,6 +54,7 @@ def test_condition_bumps_num_data():
     assert int(state.num_data) == 5  # immutable: original untouched
 
 
+@pytest.mark.slow
 def test_fantasize_shapes():
     B, F, q = 2, 3, 2
     model = _model(B)

@@ -40,6 +40,7 @@ def _setup(n=24, grid_size=12):
     return model, params, state, x, y, noise
 
 
+@pytest.mark.slow
 def test_slim_stream_matches_full():
     model, params, state, x, y, noise = _setup()
     slim = wiski_slim(state)
@@ -113,6 +114,7 @@ def test_wrapper_slim_state():
     assert rmse < 0.5
 
 
+@pytest.mark.slow
 def test_slim_long_stream_f32_drift_bounded():
     """20k f32 rank-1 updates on the slim path with periodic re-anchoring:
     the maintained inverse-root must stay consistent (B^T L ~= I) and the

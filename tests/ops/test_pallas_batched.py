@@ -115,6 +115,7 @@ def test_blocked_chunk_batched_parity():
         np.testing.assert_allclose(Bb[b], Bs, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_blocked_batched_matches_vmapped_xla():
     """roots_stream_blocked_batched (pallas interpret) == vmapped XLA
     blocked stream over a 30-point stencil stream, B=3."""

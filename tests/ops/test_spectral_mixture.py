@@ -2,6 +2,7 @@
 assembly, Toeplitz-MVM parity, and a WISKI end-to-end run (the reference
 notebook's covar_module, ``regression_viz_1D.ipynb``)."""
 
+import pytest
 import math
 
 import jax
@@ -92,6 +93,7 @@ def test_batched_params_broadcast():
     assert Kuu.shape == (3, 6, 6)
 
 
+@pytest.mark.slow
 def test_wiski_end_to_end_multi_frequency():
     """WISKI + SM kernel fits a two-frequency signal an RBF of the same
     budget struggles with — the notebook's use case."""

@@ -13,6 +13,7 @@ from online_gp_tpu.parallel import make_mesh, shard_leading, batched_trials_step
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_batched_trials_sharded_step():
     n_dev = min(len(jax.devices()), 8)
     mesh = make_mesh(n_dev)
@@ -84,6 +85,7 @@ def test_grid_sharded_mll_matches_replicated():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_grid_shard_axis_constraint():
     """SolverConfig.grid_shard_axis pins the m-row-sharded layout on the
     m x m intermediates: value parity with the replicated run, and the
@@ -131,6 +133,7 @@ def test_grid_shard_axis_constraint():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_sharded_stream_blocked_matches_single_device():
     """Tensor-parallel blocked streaming (row-sharded L/B, one psum per
     chunk) must match the single-device blocked recursion exactly."""

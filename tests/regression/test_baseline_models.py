@@ -29,6 +29,7 @@ def banana():
     return banana_dataset(n=800, seed=0)
 
 
+@pytest.mark.slow
 def test_exact_regression(fr):
     tx, ty, ex, ey = fr
     m = OnlineExactRegression(IdentityStem(2), tx[:100], ty[:100], lr=0.05)
@@ -41,6 +42,7 @@ def test_exact_regression(fr):
     assert rmse <= 0.2
 
 
+@pytest.mark.slow
 def test_svgp_regression(fr):
     tx, ty, ex, ey = fr
     m = OnlineSVGPRegression(IdentityStem(2), tx[:100], ty[:100], num_inducing=32, lr=0.05, streaming=True)
@@ -53,6 +55,7 @@ def test_svgp_regression(fr):
     assert np.isfinite(rmse2)
 
 
+@pytest.mark.slow
 def test_svgp_closed_form_streaming(fr):
     """``variational_mode="closed_form"`` (variational EM: exact Bui
     E-step + hyper-only gradient M-step) must absorb a stream it never
@@ -80,6 +83,7 @@ def test_svgp_closed_form_streaming(fr):
         )
 
 
+@pytest.mark.slow
 def test_sgpr_regression(fr):
     tx, ty, ex, ey = fr
     m = OnlineSGPRegression(IdentityStem(2), tx[:100], ty[:100], num_inducing=32, lr=0.05, num_update_steps=0)
@@ -92,6 +96,7 @@ def test_sgpr_regression(fr):
     assert rmse2 <= rmse + 0.05  # filter-only streaming must not drift
 
 
+@pytest.mark.slow
 def test_localgp_regression(fr):
     tx, ty, ex, ey = fr
     m = OnlineLocalGPRegression(IdentityStem(2), tx[:200], ty[:200], lr=0.05, max_data_per_model=128, max_experts=8)
@@ -103,6 +108,7 @@ def test_localgp_regression(fr):
     assert m.num_experts >= 2
 
 
+@pytest.mark.slow
 def test_exact_classifier(banana):
     bx, by, ex, ey = banana
     c = OnlineExactClassifier(IdentityStem(2), bx[:100], by[:100], lr=0.05)
@@ -117,6 +123,7 @@ def test_exact_classifier(banana):
     assert c.evaluate(ex, ey) >= 0.89
 
 
+@pytest.mark.slow
 def test_svgp_classifier(banana):
     bx, by, ex, ey = banana
     v = OnlineSVGPClassifier(IdentityStem(2), bx[:100], by[:100], num_inducing=32, lr=0.1)

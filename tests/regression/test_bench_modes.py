@@ -1,6 +1,7 @@
 """The bench harness's full-update mode (repo-root bench.py): correctness
 gates and chunk semantics, on a small grid so CPU CI stays fast."""
 
+import pytest
 import sys
 
 import jax.numpy as jnp
@@ -19,6 +20,7 @@ def _model(grid_size=8, d=2):
                       learn_additional_noise=True), grid, d
 
 
+@pytest.mark.slow
 def test_full_update_mode_runs_and_gates():
     import bench
 

@@ -15,6 +15,7 @@ def data():
     return sin_cos_dataset(n=600, seed=0)
 
 
+@pytest.mark.slow
 def test_batch_fit_quality(data):
     tr_x, tr_y, te_x, te_y = data
     reg = OnlineSKIRegression(IdentityStem(2), tr_x[:50], tr_y[:50], lr=0.05, grid_size=16, grid_bound=1.0)
@@ -24,6 +25,7 @@ def test_batch_fit_quality(data):
     assert nll <= 2.0
 
 
+@pytest.mark.slow
 def test_online_stream_quality(data):
     tr_x, tr_y, te_x, te_y = data
     reg = OnlineSKIRegression(IdentityStem(2), tr_x[:50], tr_y[:50], lr=0.05, grid_size=16, grid_bound=1.0)
