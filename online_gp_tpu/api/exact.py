@@ -66,19 +66,29 @@ class _ExactBase:
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, stem_params)
             up, opt_state = opt.update(grads, opt_state, (params, stem_params))
             params, stem_params = optax.apply_updates((params, stem_params), up)
-            return params, stem_params, opt_state, loss
+            # refresh stored features from the UPDATED stem in the same
+            # program (the reference dumps caches so features always track
+            # the current stem); a separate eager refresh over the growing
+            # raw buffer compiled a new op per stream step on the chip
+            feats, _ = stem.apply(stem_params, bn_state, raw_x, train=False)
+            data = data._replace(x=jnp.where(data.mask[:, None] > 0, feats, data.x))
+            return params, stem_params, opt_state, data, loss
 
         jitted = jax.jit(fn)
         self._jit_cache[key] = jitted
         return jitted
 
     def _grad_step(self, data: ExactGPData):
-        raw = jnp.asarray(self._raw[0])
+        raw = np.asarray(self._raw[0])
         cap = data.x.shape[0]
-        raw_padded = jnp.zeros((cap, raw.shape[1]), raw.dtype).at[: raw.shape[0]].set(raw)
+        # pad host-side: a device at[]-set over the growing raw buffer is a
+        # new shape (hence a fresh op compile) every stream step
+        raw_padded = np.zeros((cap, raw.shape[1]), raw.dtype)
+        raw_padded[: raw.shape[0]] = raw
         step = self._step_fn(cap)
-        self.params, self.stem_params, self.opt_state, loss = step(
-            self.params, self.stem_params, self.stem_state, self.opt_state, raw_padded, data
+        self.params, self.stem_params, self.opt_state, self.data, loss = step(
+            self.params, self.stem_params, self.stem_state, self.opt_state,
+            jnp.asarray(raw_padded), data
         )
         return float(loss)
 
@@ -86,6 +96,16 @@ class _ExactBase:
         self.opt = optax.adam(gp_lr)
         self.opt_state = self.opt.init((self.params, self.stem_params))
         self._jit_cache = {}
+
+    def _predict_fn(self):
+        """One-dispatch jitted predict (stem features + masked exact
+        posterior). Eager op-by-op execution costs ~25 ms/op on the
+        tunneled chip, which made the prequential evaluate->update loop
+        dispatch-bound; jit retraces per (cap, query) shape only."""
+        key = ("predict",)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._predict_impl)
+        return self._jit_cache[key]
 
 
 class OnlineExactRegression(_ExactBase):
@@ -111,7 +131,6 @@ class OnlineExactRegression(_ExactBase):
         feats = jax.lax.stop_gradient(self._features(inputs))
         self.data = exact_data_append(self.data, feats, targets)
         loss = self._grad_step(self.data) if update_gp else 0.0
-        self._refresh_features()
         return loss, loss
 
     def fit(self, inputs, targets, num_epochs: int, test_dataset=None):
@@ -124,7 +143,6 @@ class OnlineExactRegression(_ExactBase):
         records = []
         for epoch in range(num_epochs):
             loss = self._grad_step(self.data)
-            self._refresh_features()
             rmse = nll = float("nan")
             if test_dataset is not None:
                 rmse, nll = self.evaluate(*test_dataset)
@@ -139,17 +157,17 @@ class OnlineExactRegression(_ExactBase):
             )
         return records
 
-    def _refresh_features(self):
-        feats = jax.lax.stop_gradient(self._features(jnp.asarray(self._raw[0])))
-        n = feats.shape[0]
-        self.data = self.data._replace(x=self.data.x.at[:n].set(feats))
+    def _predict_impl(self, params, stem_params, bn_state, data, x):
+        feats, _ = self.stem.apply(stem_params, bn_state, x, train=False)
+        mean, var = exact_gp_posterior(self.model, params, data, feats)
+        var = var + jnp.exp(params["raw_noise"])[:, None]
+        return mean.T, var.T
 
     def predict(self, inputs):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        feats = self._features(inputs)
-        mean, var = exact_gp_posterior(self.model, self.params, self.data, feats)
-        var = var + jnp.exp(self.params["raw_noise"])[:, None]
-        return mean.T, var.T
+        return self._predict_fn()(
+            self.params, self.stem_params, self.stem_state, self.data, inputs
+        )
 
     def evaluate(self, inputs, targets):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
@@ -206,11 +224,16 @@ class OnlineExactClassifier(_ExactBase):
             records.append({"epoch": epoch + 1, "train_loss": loss, "test_acc": acc})
         return records
 
+    def _predict_impl(self, params, stem_params, bn_state, data, x):
+        feats, _ = self.stem.apply(stem_params, bn_state, x, train=False)
+        mean, _ = exact_gp_posterior(self.model, params, data, feats)
+        return jnp.argmax(mean, axis=0)
+
     def predict(self, inputs):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        feats = self._features(inputs)
-        mean, _ = exact_gp_posterior(self.model, self.params, self.data, feats)
-        return jnp.argmax(mean, axis=0)
+        return self._predict_fn()(
+            self.params, self.stem_params, self.stem_state, self.data, inputs
+        )
 
     def evaluate(self, inputs, labels):
         pred = self.predict(inputs)

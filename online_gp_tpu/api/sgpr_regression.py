@@ -265,17 +265,27 @@ class OnlineSGPRegression:
         self.buffer.append(np.asarray(inputs))
         return float(loss), float(loss)
 
+    def _predict_impl(self, params, stem_params, bn_state, moments, x):
+        feats, _ = self.stem.apply(stem_params, bn_state, x, train=False)
+        mean, var = sgpr_predict(self.model, params, moments, feats)
+        var = var + jnp.exp(params["raw_noise"])
+        return mean[:, None], var[:, None]
+
     def predict(self, inputs):
+        # one-dispatch jitted predict: eager execution is ~25 ms/op on the
+        # tunneled chip, which made evaluate() dispatch-bound
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        feats = self._features(inputs)
         if self.moments is None:
             M = self.params["z"].shape[0]
             self.moments = SGPRMoments(
-                var_mean=jnp.zeros((M,), feats.dtype), var_chol=jnp.eye(M, dtype=feats.dtype)
+                var_mean=jnp.zeros((M,), inputs.dtype), var_chol=jnp.eye(M, dtype=inputs.dtype)
             )
-        mean, var = sgpr_predict(self.model, self.params, self.moments, feats)
-        var = var + jnp.exp(self.params["raw_noise"])
-        return mean[:, None], var[:, None]
+        key = ("predict",)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._predict_impl)
+        return self._jit_cache[key](
+            self.params, self.stem_params, self.stem_state, self.moments, inputs
+        )
 
     def evaluate(self, inputs, targets):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)

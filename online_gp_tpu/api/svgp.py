@@ -362,12 +362,20 @@ class OnlineSVGPRegression(_OnlineSVGPBase):
         assert self.target_dim == 1, "multi-output O-SVGP: run one wrapper per output"
         super().__init__(stem, init_x, init_y, **kw)
 
-    def predict(self, inputs):
-        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        feats = self._features(inputs)
-        mean, var = svgp_predict(self.model, self.params, feats, self.cfg)
-        var = var + jnp.exp(self.params["raw_noise"])
+    def _predict_impl(self, params, stem_params, bn_state, x):
+        feats, _ = self.stem.apply(stem_params, bn_state, x, train=False)
+        mean, var = svgp_predict(self.model, params, feats, self.cfg)
+        var = var + jnp.exp(params["raw_noise"])
         return mean[:, None], var[:, None]
+
+    def predict(self, inputs):
+        # one-dispatch jitted predict: eager execution is ~25 ms/op on the
+        # tunneled chip, which made evaluate() dispatch-bound
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        key = ("predict",)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._predict_impl)
+        return self._jit_cache[key](self.params, self.stem_params, self.stem_state, inputs)
 
     def evaluate(self, inputs, targets):
         inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
@@ -397,12 +405,18 @@ class OnlineSVGPClassifier(_OnlineSVGPBase):
     def __init__(self, stem, init_x, init_y, **kw):
         super().__init__(stem, init_x, jnp.asarray(init_y).reshape(-1, 1), **kw)
 
-    def predict(self, inputs):
-        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
-        feats = self._features(inputs)
-        mean, var = svgp_predict(self.model, self.params, feats, self.cfg)
+    def _predict_impl(self, params, stem_params, bn_state, x):
+        feats, _ = self.stem.apply(stem_params, bn_state, x, train=False)
+        mean, var = svgp_predict(self.model, params, feats, self.cfg)
         p = bernoulli_probit_predictive(mean, var)
         return (p >= 0.5).astype(jnp.int32), p
+
+    def predict(self, inputs):
+        inputs = jnp.asarray(inputs).reshape(-1, self.stem.input_dim)
+        key = ("predict",)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._predict_impl)
+        return self._jit_cache[key](self.params, self.stem_params, self.stem_state, inputs)
 
     def evaluate(self, inputs, labels):
         pred, _ = self.predict(inputs)
