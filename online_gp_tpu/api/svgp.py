@@ -54,7 +54,18 @@ def _make_optimizer(lr: float, variational_mode: str = "grad"):
     Under ``variational_mode="closed_form"`` the variational group is
     frozen for gradient steps — q(u) moves only through the exact
     streaming update (variational EM: closed-form E-step, gradient
-    M-step on the hypers)."""
+    M-step on the hypers).
+
+    The chain is fronted by ``optax.zero_nans``: the f32 online ELBO +
+    streaming-correction gradient on TPU sits close enough to the
+    factorization cliff that a borderline step can emit a non-finite
+    gradient (round-5 five-model showdown: 3 of 6 chip arms lost their
+    posterior to one poisoned step; the identical f32 program on CPU is
+    healthy). Zeroing the offending leaf turns that step into a no-op
+    for that leaf instead of destroying the state — healthy gradients
+    are untouched. The reference (f64 torch on CPU) never needed the
+    guard; this is the same policy as the wiski-path robustness guards
+    (noise clamp / jitter escalation, SURVEY §5)."""
     def label_fn(params):
         return {k: _group_label(k) for k in params}
 
@@ -62,8 +73,11 @@ def _make_optimizer(lr: float, variational_mode: str = "grad"):
         optax.set_to_zero() if variational_mode == "closed_form"
         else optax.adam(lr / 10.0)
     )
-    return optax.multi_transform(
-        {"hyper": optax.adam(lr), "variational": var_opt}, label_fn
+    return optax.chain(
+        optax.zero_nans(),
+        optax.multi_transform(
+            {"hyper": optax.adam(lr), "variational": var_opt}, label_fn
+        ),
     )
 
 
@@ -124,7 +138,10 @@ class _OnlineSVGPBase:
 
         self.opt = _make_optimizer(lr, variational_mode)
         self.opt_state = self.opt.init(self.params)
-        self.stem_opt = optax.adam(lr / 10.0)
+        # zero_nans: same online-step robustness guard as the GP group
+        # (see _make_optimizer) — the stem shares the loss whose gradient
+        # can go non-finite on-chip
+        self.stem_opt = optax.chain(optax.zero_nans(), optax.adam(lr / 10.0))
         self.stem_opt_state = self.stem_opt.init(self.stem_params)
         self.buffer = ReplayBuffer(np.asarray(init_x))
         self._jit_cache: Dict = {}
@@ -344,7 +361,10 @@ class _OnlineSVGPBase:
         self.lr = gp_lr
         self.opt = _make_optimizer(gp_lr, self.variational_mode)
         self.opt_state = self.opt.init(self.params)
-        self.stem_opt = optax.adam((stem_lr if stem_lr is not None else gp_lr) / 10.0)
+        self.stem_opt = optax.chain(
+            optax.zero_nans(),
+            optax.adam((stem_lr if stem_lr is not None else gp_lr) / 10.0),
+        )
         self.stem_opt_state = self.stem_opt.init(self.stem_params)
         self._jit_cache = {}
 

@@ -131,6 +131,10 @@ def svgp_predict(
 
 
 def gaussian_expected_log_prob(y, mean, var, noise):
+    # 1e-7 noise floor: same guard as the wiski likelihoods — an adam
+    # step driving raw_noise far negative otherwise turns this into
+    # log(0)/x/0 and poisons the next gradient
+    noise = jnp.maximum(noise, 1e-7)
     return -0.5 * (LOG_2PI + jnp.log(noise) + ((y - mean) ** 2 + var) / noise)
 
 

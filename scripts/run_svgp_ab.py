@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: F401
 import numpy as np
 
+if "--cpu" in sys.argv:
+    # fallback when the tunneled chip is unavailable (the axon
+    # sitecustomize overrides JAX_PLATFORMS, so only this works)
+    jax.config.update("jax_platforms", "cpu")
+
 # tunnel compiles are minutes-slow; persist them across trials/reruns
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_driver_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
