@@ -28,8 +28,15 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
                             # "grad": reference O-SVGP (ELBO gradient steps on all
                             # params); "closed_form": variational-EM — Bui et al.
                             # exact (m, S) update per batch, gradients only on
-                            # hypers (models/svgp.py::svgp_closed_form_update)
-                            variational_mode="grad"),
+                            # hypers (models/svgp.py::svgp_closed_form_update).
+                            # closed_form is the default since the round-5 A/B
+                            # (docs/svgp_ab_r5_cpu.json): ~2x lower streaming
+                            # test RMSE than grad on both baseline streams
+                            # (0.44 vs 0.84 powerplant, 0.35 vs 0.89 elevators,
+                            # 3 seeds), and the reference's own online arm also
+                            # updates q(u) in closed form
+                            # (online_gp/models/variational_gp_model.py:149-202)
+                            variational_mode="closed_form"),
     "sgpr_regression": dict(name="sgpr_regression", type="regression", init_ratio=0.05,
                             num_inducing=256, lr=1e-2, num_update_steps=1, jitter=1e-4),
     "localgp_regression": dict(name="localgp_regression", type="regression", init_ratio=0.05,
