@@ -285,3 +285,53 @@ class TestExactEstep:
         for k, g in grad.items():
             for leaf in jax.tree.leaves(g):
                 assert bool(jnp.isfinite(leaf).all()), k
+
+
+class TestOnlineStepGuards:
+    """The online-update robustness guards added after the round-5
+    showdown (3 of 6 on-chip svgp arms lost their posterior to one
+    non-finite f32 gradient; CPU identical program healthy)."""
+
+    def test_zero_nans_skips_poisoned_leaf_keeps_healthy(self):
+        """A non-finite gradient leaf must become a no-op for that leaf
+        while finite leaves still step (api.svgp._make_optimizer)."""
+        import optax
+        from online_gp_tpu.api.svgp import _make_optimizer
+
+        opt = _make_optimizer(0.01)
+        params = {
+            "z": jnp.ones((4, 2), DT),
+            "var_mean": jnp.zeros((4,), DT),
+            "var_chol": jnp.eye(4, dtype=DT),
+            "kernel": {"raw_lengthscale": jnp.zeros((1, 2), DT),
+                       "raw_outputscale": jnp.zeros((), DT)},
+            "raw_noise": jnp.zeros((), DT),
+        }
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        grads["var_mean"] = jnp.full_like(grads["var_mean"], jnp.nan)
+        up, _ = opt.update(grads, state, params)
+        new = optax.apply_updates(params, up)
+        for leaf in jax.tree.leaves(new):
+            assert bool(jnp.isfinite(leaf).all())
+        # the poisoned leaf did not move; a healthy leaf did
+        assert bool((new["var_mean"] == params["var_mean"]).all())
+        assert not bool((new["raw_noise"] == params["raw_noise"]).all())
+
+    def test_gaussian_ell_noise_floor(self):
+        """exp(raw_noise) underflow must not turn the expected
+        log-likelihood (or its gradient) non-finite."""
+        from online_gp_tpu.models.svgp import gaussian_expected_log_prob
+
+        y = jnp.asarray([0.5], DT)
+        mean = jnp.asarray([0.4], DT)
+        var = jnp.asarray([0.1], DT)
+
+        def ell(raw_noise):
+            return jnp.sum(
+                gaussian_expected_log_prob(y, mean, var, jnp.exp(raw_noise))
+            )
+
+        v, g = jax.value_and_grad(ell)(jnp.asarray(-200.0, DT))  # exp -> 0 in f32
+        assert bool(jnp.isfinite(v))
+        assert bool(jnp.isfinite(g))
